@@ -1,0 +1,84 @@
+"""Pipeline configuration.
+
+One frozen dataclass threads through every stage (the generalization of the
+reference's ``strict`` / ``language`` / ``with_nav`` / ``trailing_slash`` flag
+threading, ``/root/reference/courlan/core.py:39-46`` and
+``urlstore.py:128-141``).  All signature parameters (shingle width, num_perm,
+bands/rows, Hamming radius) are part of the config fingerprint so checkpoint
+resume invalidates downstream state when they change (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- canonicalization gates (courlan check_url generalization) ---
+    strict: bool = False
+    language: str | None = None            # None = no language gate
+    min_caption_len: int = 10              # cf. basic_filter 10 <= len < 500
+    max_caption_len: int = 500
+    allowed_formats: tuple[str, ...] = ("jpeg", "png")
+    min_dim: int = 8                       # reject degenerate images
+    max_dim: int = 1 << 16
+
+    # --- MinHash over caption character shingles ---
+    shingle_width: int = 5
+    num_perm: int = 128
+    bands: int = 32                        # rows per band = num_perm // bands
+    jaccard_threshold: float = 0.80        # est. Jaccard to verify a caption pair
+
+    # --- SimHash / phash Hamming-ball over pixels ---
+    phash_bands: int = 4                   # 64-bit phash split into 4x16-bit bands
+    hamming_threshold: int = 3             # pigeonhole: 4 bands find all dist<=3
+    simhash_hamming_threshold: int = 3
+
+    # --- suffix/winnowing substring fingerprints (near-verbatim captions) ---
+    fingerprint_k: int = 8                 # k-gram size for winnowing
+    fingerprint_window: int = 4            # winnow window -> guarantee length k+w-1
+    substring_min_ratio: float = 0.60      # LCS/len ratio to verify substring pair
+
+    # --- skew / shuffle control ---
+    num_salts: int = 8                     # sub-buckets per hot band bucket
+    bucket_pair_cap: int = 64              # above this group size emit windowed pairs
+    pair_window: int = 4                   # neighbors linked per id in windowed mode
+    shuffle_partitions: int = 64           # hash-join / co-partition fan-out
+
+    # --- connected components ---
+    driver_cc_max_pairs: int = 2_000_000   # below: driver union-find; above: distributed
+    cc_max_rounds: int = 20
+
+    # --- sampling (courlan sample_urls generalization) ---
+    sample_k: int = 1                      # representatives per cluster
+    exclude_min: int = 0
+    exclude_max: int = 1 << 62
+    seed: int = 8675309
+
+    # --- fidelity invariants ---
+    psnr_min_db: float = 40.0
+
+    # --- execution sizing ---
+    batch_size: int = 4096
+    signature_concurrency: int = 8
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.bands
+
+    def fingerprint(self) -> str:
+        """Stable hash of all semantic parameters, used by the checkpoint
+        manifest to detect config changes (SURVEY.md §7.4)."""
+        d = asdict(self)
+        # execution sizing does not change results
+        for k in ("batch_size", "signature_concurrency", "shuffle_partitions",
+                  "driver_cc_max_pairs"):
+            d.pop(k, None)
+        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,227 @@
+"""Vectorized 64-bit hashing / MinHash / SimHash / winnowing kernels.
+
+All functions are pure numpy over flat buffers so they run inside
+``map_batches`` with no per-row Python.  Determinism: every hash derives from
+splitmix64 mixing with explicit seeds — identical across processes, runs and
+parallelism levels (required for checkpoint resume and the two-parallelism
+scaling protocol, SURVEY.md §4).
+
+MinHash uses one shared hash stream re-salted per permutation
+(h_k(x) = mix(x ^ salt_k)), the standard cheap substitute for (a*x+b) mod p.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays."""
+    x = x.astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _U64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        z = z ^ (z >> _U64(31))
+    return z
+
+
+def hash_u64_pair(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
+    """Mix two uint64 streams into one (order-sensitive)."""
+    a = np.asarray(a, dtype=_U64)
+    b = np.asarray(b, dtype=_U64)
+    with np.errstate(over="ignore"):
+        return splitmix64(a ^ (splitmix64(b) + _U64(0x9E3779B97F4A7C15)))
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit hash of a string/bytes sequence via pandas'
+    C hashing, re-mixed with the seed.  Deterministic for a fixed pandas
+    version (all comparisons happen inside this repo's own runs)."""
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return splitmix64(h ^ _U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def _encode_concat(texts: list[bytes], min_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate byte strings, padding each to >= min_len with NUL.
+    Returns (flat uint8 buffer, per-doc padded lengths)."""
+    lens = np.fromiter((max(len(t), min_len) for t in texts), count=len(texts),
+                       dtype=np.int64)
+    buf = bytearray(int(lens.sum()))
+    pos = 0
+    for t, ln in zip(texts, lens):
+        buf[pos:pos + len(t)] = t
+        pos += int(ln)
+    return np.frombuffer(bytes(buf), dtype=np.uint8), lens
+
+
+def char_shingle_hashes(texts, width: int, seed: int = 0,
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hashes of all character (byte) shingles of each text.
+
+    Fully vectorized: one polynomial rolling hash over the concatenated
+    buffer; windows crossing document boundaries are excluded by index
+    arithmetic.  Texts shorter than ``width`` contribute exactly one shingle
+    (the NUL-padded text), mirroring MinHash conventions for short docs.
+
+    Returns (flat uint64 hashes, per-doc shingle counts).
+    """
+    if hasattr(texts, "to_pylist"):
+        texts = texts.to_pylist()
+    btexts = [t.encode("utf-8", "surrogatepass") if isinstance(t, str)
+              else (t or b"") for t in texts]
+    n = len(btexts)
+    if n == 0:
+        return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
+
+    buf, lens = _encode_concat(btexts, width)
+    counts = lens - width + 1                      # >= 1 by construction
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+
+    # polynomial hash of every window of `width` bytes (wrapping uint64)
+    P = _U64(1099511628211)                        # FNV prime as poly base
+    nwin = buf.shape[0] - width + 1
+    acc = np.zeros(nwin, dtype=_U64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            acc = acc * P + buf[j:j + nwin].astype(_U64)
+    acc = splitmix64(acc ^ _U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+    # gather only windows fully inside each doc
+    starts = np.repeat(offsets, counts) + _ranges_within(counts)
+    return acc[starts], counts
+
+
+def _ranges_within(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for a counts vector (vectorized)."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
+def minhash_signatures(shingle_hashes: np.ndarray, counts: np.ndarray,
+                       num_perm: int, seed: int) -> np.ndarray:
+    """(ndocs, num_perm) uint64 MinHash signatures.
+
+    One vectorized pass per permutation: re-salt the shared shingle-hash
+    stream and min-reduce per document with ``np.minimum.reduceat``.
+    """
+    n = counts.shape[0]
+    out = np.empty((n, num_perm), dtype=_U64)
+    if n == 0:
+        return out
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    salts = splitmix64(np.arange(num_perm, dtype=_U64) + _U64(seed & 0xFFFFFFFFFFFFFFFF))
+    h = shingle_hashes.astype(_U64, copy=False)
+    for k in range(num_perm):
+        permuted = splitmix64(h ^ salts[k])
+        out[:, k] = np.minimum.reduceat(permuted, offsets)
+    return out
+
+
+def simhash64(shingle_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per document from its shingle hashes (unweighted)."""
+    n = counts.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    # bits: (total_shingles, 64) 0/1, little-endian bit order per byte
+    bytes_view = shingle_hashes.astype("<u8").view(np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(bytes_view, axis=1, bitorder="little").astype(np.int32)
+    sums = np.add.reduceat(bits, offsets, axis=0)          # (ndocs, 64)
+    majority = (sums * 2 > counts[:, None]).astype(np.uint8)
+    return np.packbits(majority, axis=1, bitorder="little").view("<u8").ravel().astype(_U64)
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise Hamming distance between two uint64 arrays."""
+    x = (np.asarray(a, dtype=_U64) ^ np.asarray(b, dtype=_U64))
+    return _POPCNT[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int32)
+
+
+def band_keys(signatures: np.ndarray, bands: int, seed: int = 0) -> np.ndarray:
+    """(ndocs, bands) uint64 LSH band keys: hash of each band's rows.
+
+    The generalization of the reference's per-domain grouping key
+    (``get_host_and_path``, /root/reference/courlan/urlutils.py:83-96):
+    identical band rows -> identical key -> same shuffle bucket.
+    """
+    n, num_perm = signatures.shape
+    r = num_perm // bands
+    sig = signatures[:, :bands * r].reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, bands), _U64(seed & 0xFFFFFFFFFFFFFFFF) + _U64(0x243F6A8885A308D3))
+        for j in range(r):
+            acc = splitmix64(acc ^ sig[:, :, j])
+        # fold band index in so band b of one sig never collides with band b'
+        acc = splitmix64(acc ^ np.arange(bands, dtype=_U64)[None, :])
+    return acc
+
+
+def winnowing_fingerprints(texts, k: int, window: int, seed: int = 0,
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    k-gram rolling hashes, keep the minimum of every sliding window of
+    ``window`` consecutive hashes.  Guarantees any shared substring of
+    length >= k + window - 1 produces a shared fingerprint — the scalable
+    stand-in for suffix-array substring detection (SURVEY.md §7.2 step 4).
+
+    Returns (flat uint64 fingerprint hashes, per-doc fingerprint counts).
+    Duplicate fingerprints within a doc are deduplicated.  Fully vectorized:
+    one flat sliding-window min over all docs' hashes with window-crossing
+    positions masked out by index arithmetic, then a C-level dedup.
+    """
+    import pandas as pd
+
+    hashes, counts = char_shingle_hashes(texts, k, seed=seed)
+    n = counts.shape[0]
+    if n == 0:
+        return hashes, counts
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+
+    win_counts = np.maximum(counts - window + 1, 1)    # windows per doc
+    # flat sliding min; for docs shorter than the window clamp to doc end
+    nflat = hashes.shape[0]
+    mins = np.empty(nflat, dtype=_U64)
+    if nflat >= window:
+        wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+        mins[: nflat - window + 1] = wins.min(axis=1)
+        mins[nflat - window + 1:] = _MASK
+    else:
+        mins[:] = _MASK
+    # window starting at flat pos p is valid iff it stays inside doc_of[p];
+    # short docs take the min of their whole tail instead
+    starts = np.repeat(offsets, win_counts) + _ranges_within(win_counts)
+    short = counts < window
+    fps = mins[starts]
+    if short.any():
+        # recompute short docs exactly: min over the entire doc
+        short_sel = np.repeat(short, win_counts)
+        whole_min = np.minimum.reduceat(hashes, offsets)
+        fps[short_sel] = np.repeat(whole_min, win_counts)[short_sel]
+    fp_doc = np.repeat(np.arange(n, dtype=np.int64), win_counts)
+    df = pd.DataFrame({"d": fp_doc, "f": fps}).drop_duplicates()
+    out_c = np.bincount(df["d"].to_numpy(), minlength=n).astype(np.int64)
+    return df["f"].to_numpy(dtype=_U64), out_c
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard = fraction of agreeing MinHash permutations.
+    Inputs: (npairs, num_perm) uint64."""
+    return (sig_a == sig_b).mean(axis=1).astype(np.float64)

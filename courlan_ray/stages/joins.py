@@ -1,0 +1,163 @@
+"""Join / lookup helpers (SURVEY.md §2.5).
+
+Three scale-aware patterns, mirroring the reference's lookup shapes:
+
+- broadcast semi/anti join: small key side shipped once via ``ray.put`` and
+  probed with a vectorized ``pc.is_in`` inside ``map_batches`` (the robots
+  rules / blacklist lookup pattern, /root/reference/courlan/urlstore.py:515-522,
+  core.py:115-119);
+- partitioned hash join via ``Dataset.join`` when both sides are large
+  (the _search_urls anti-join, urlstore.py:277-295);
+- ``hash_join_pairs``: attach per-id payload columns to a pair table
+  (left_id, right_id) — the candidate-pair -> signature lookup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+# above this many keys we stop broadcasting and use a partitioned join
+BROADCAST_MAX_KEYS = 5_000_000
+
+
+def join_partitions(requested: int) -> int:
+    """Clamp join fan-out to the cluster's CPU count — ``Dataset.join``
+    spawns an aggregator pool per partition and oversubscribing a small
+    cluster stalls the executor."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(requested, cpus))
+
+
+def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,
+                   keys_col: str | None = None,
+                   num_partitions: int = 64, broadcast_max: int = BROADCAST_MAX_KEYS):
+    """Semi (keep=True) or anti (keep=False) join of ``ds`` against the key
+    column ``keys_col`` (default ``key_col``) of ``keys_ds``.  Chooses
+    broadcast vs partitioned join by key count."""
+    kc = keys_col or key_col
+    n_keys = keys_ds.count()
+    if n_keys == 0:
+        return ds if not keep else ds.limit(0)
+    if n_keys <= broadcast_max:
+        key_list = [r[kc] for r in keys_ds.select_columns([kc]).take_all()]
+        ref = ray.put(pa.array(sorted(set(key_list))))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            vals = ray.get(ref)
+            mask = pc.is_in(batch[key_col], value_set=vals)
+            if not keep:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    # large key side: partitioned hash join on the key
+    marker = keys_ds.select_columns([kc]).map_batches(
+        lambda t: t.append_column("__hit", pa.array(np.ones(t.num_rows, dtype=bool))),
+        batch_format="pyarrow")
+    joined = ds.join(marker, join_type="left_outer",
+                     num_partitions=num_partitions, on=(key_col,),
+                     right_on=(kc,))
+    pred = (lambda t: t.filter(pc.is_valid(t["__hit"]))) if keep else \
+           (lambda t: t.filter(pc.is_null(t["__hit"])))
+    return joined.map_batches(pred, batch_format="pyarrow").drop_columns(["__hit"])
+
+
+def attach_by_key(left_ds, right_ds, on: list[str], *,
+                  num_partitions: int = 8,
+                  broadcast_max: int = 2_000_000, how: str = "inner"):
+    """Inner/left join ``right_ds``'s columns onto ``left_ds`` by key
+    column(s).  Small right sides are broadcast once via ``ray.put`` and
+    merged with vectorized pandas inside ``map_batches`` (no shuffle);
+    large right sides fall back to the partitioned hash ``Dataset.join``.
+
+    ``Dataset.join`` has high fixed cost (aggregator actor pool startup),
+    so the broadcast path also keeps small/medium pipelines fast."""
+    n_right = right_ds.count()
+    if n_right <= broadcast_max:
+        tbl = _collect(right_ds)
+        ref = ray.put(tbl)
+
+        def attach(batch):
+            import pandas as pd
+            small = ray.get(ref).to_pandas()
+            out = batch.merge(small, how="inner" if how == "inner" else "left",
+                              on=on)
+            return out
+
+        return left_ds.map_batches(attach, batch_format="pandas")
+    jt = "inner" if how == "inner" else "left_outer"
+    return left_ds.join(right_ds, join_type=jt,
+                        num_partitions=join_partitions(num_partitions),
+                        on=tuple(on))
+
+
+def broadcast_lookup(ds, small_table: pa.Table, key_col: str,
+                     value_cols: list[str], *, right_key: str | None = None):
+    """Map-side hash lookup: attach ``value_cols`` from a small table to
+    every row of ``ds`` (left join, broadcast).  ``small_table`` is shipped
+    once via ``ray.put`` and re-read zero-copy per task."""
+    import pandas as pd
+
+    ref = ray.put(small_table)
+    rk = right_key or key_col
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        small: pa.Table = ray.get(ref)
+        sdf = small.select([rk] + value_cols).to_pandas()
+        return batch.merge(sdf, how="left", left_on=key_col, right_on=rk)
+
+    return ds.map_batches(attach, batch_format="pandas")
+
+
+def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str],
+                    num_partitions: int = 64, broadcast_max: int = 2_000_000):
+    """Attach payload columns for both sides of a (left_id, right_id) pair
+    table.  Small payload sides are broadcast; large ones use two
+    partitioned hash joins (pairs are narrow, so this is cheap relative to
+    the candidate-generation shuffle)."""
+    n_payload = payload_ds.count()
+    cols = [id_col] + payload_cols
+    if n_payload <= broadcast_max:
+        tbl = _collect(payload_ds.select_columns(cols))
+        ref = ray.put(tbl)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            small = ray.get(ref).to_pandas()
+            df = batch.to_pandas()
+            left = small.rename(columns={c: f"{c}_l" for c in cols})
+            right = small.rename(columns={c: f"{c}_r" for c in cols})
+            df = df.merge(left, how="inner", left_on="left_id", right_on=f"{id_col}_l")
+            df = df.merge(right, how="inner", left_on="right_id", right_on=f"{id_col}_r")
+            return pa.Table.from_pandas(
+                df.drop(columns=[f"{id_col}_l", f"{id_col}_r"]), preserve_index=False)
+
+        return pairs_ds.map_batches(attach, batch_format="pyarrow")
+
+    left = payload_ds.select_columns(cols).rename_columns(
+        {c: f"{c}_l" for c in cols})
+    right = payload_ds.select_columns(cols).rename_columns(
+        {c: f"{c}_r" for c in cols})
+    out = pairs_ds.join(left, join_type="inner",
+                        num_partitions=join_partitions(num_partitions),
+                        on=("left_id",), right_on=(f"{id_col}_l",))
+    out = out.join(right, join_type="inner",
+                   num_partitions=join_partitions(num_partitions),
+                   on=("right_id",), right_on=(f"{id_col}_r",))
+    return out.drop_columns([f"{id_col}_l", f"{id_col}_r"])
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a (small) Dataset to one Arrow table on the driver."""
+    parts = [pa.table(b) for b in ds.iter_batches(batch_size=65536,
+                                                  batch_format="pyarrow")]
+    if parts:
+        return pa.concat_tables(parts)
+    return pa.Table.from_pylist([], schema=ds.schema().base_schema)
