@@ -1,0 +1,75 @@
+"""End-to-end pipeline tests against planted ground truth (SURVEY.md §5:
+pipeline-level tests on deterministic synthetic tables with known clusters,
+dup-pair recall >= 0.99 at fixed signature config)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from courlan_ray.config import DedupConfig
+from courlan_ray.sources import synth
+from courlan_ray.pipelines.image_dedup import dedup_pipeline, pair_recall
+
+N = 800
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def synth_path(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    return synth.synth_parquet(N, SEED, root=root)
+
+
+@pytest.fixture(scope="module")
+def result(synth_path):
+    import ray.data as rd
+    cfg = DedupConfig(signature_concurrency=2)
+    out = dedup_pipeline(rd.read_parquet(synth_path), cfg)
+    clusters = out["clusters"].to_pandas()
+    counters = out["counters"].to_pandas()
+    return clusters, counters
+
+
+def test_recall_at_least_99(result):
+    clusters, _ = result
+    pairs, _ = synth.truth_tables(N, SEED)
+    r = pair_recall(pa.Table.from_pandas(clusters), pairs)
+    assert r >= 0.99, r
+
+
+def test_no_cluster_mixes_truth_groups(result):
+    clusters, _ = result
+    _, truth = synth.truth_tables(N, SEED)
+    tmap = truth.to_pandas().set_index("image_id")["cluster_id"]
+    multi = clusters[clusters.groupby("cluster_id")["image_id"]
+                     .transform("size") > 1].copy()
+    multi["truth"] = multi["image_id"].map(tmap)
+    mixing = multi.groupby("cluster_id")["truth"].nunique()
+    assert (mixing > 1).sum() == 0
+
+
+def test_one_representative_per_cluster(result):
+    clusters, _ = result
+    reps = clusters.groupby("cluster_id")["is_representative"].sum()
+    assert (reps == 1).all()
+    # representative is the min image_id (order-free determinism)
+    rep_rows = (clusters[clusters["is_representative"]]
+                .set_index("cluster_id")["image_id"].sort_index())
+    mins = clusters.groupby("cluster_id")["image_id"].min().sort_index()
+    assert (rep_rows == mins).all()
+
+
+def test_invalid_rows_excluded_and_counted(result):
+    clusters, counters = result
+    plan = synth.row_plan(np.arange(N), SEED)
+    invalid_ids = {f"img-{i:012d}"
+                   for i in np.flatnonzero(plan["kind"] == synth.KIND_INVALID)}
+    assert invalid_ids.isdisjoint(set(clusters["image_id"]))
+    rejected = counters[counters["reject_reason"] != ""]["n"].sum()
+    assert rejected == len(invalid_ids)
+
+
+def test_cluster_sizes_match_column(result):
+    clusters, _ = result
+    sizes = clusters.groupby("cluster_id")["image_id"].transform("size")
+    assert (clusters["cluster_size"] == sizes).all()

@@ -1,0 +1,67 @@
+import numpy as np
+import pyarrow as pa
+
+from courlan_ray.sources import synth
+
+
+def test_schema_matches_input_hint():
+    t = synth.synth_table(50, seed=42)
+    assert t.schema.names == ["image_id", "bytes", "w", "h", "fmt",
+                              "caption", "phash"]
+    assert t.schema.field("phash").type == pa.int64()
+    assert t.schema.field("bytes").type == pa.binary()
+    assert t.schema.field("w").type == pa.int32()
+
+
+def test_generation_pure_function_of_index():
+    # generating rows in different batch splits yields identical content
+    whole = synth.generate_rows(np.arange(40), 42)
+    parts = pa.concat_tables([synth.generate_rows(np.arange(0, 17), 42),
+                              synth.generate_rows(np.arange(17, 40), 42)])
+    assert whole.equals(parts)
+
+
+def test_exact_dups_byte_identical():
+    n = 400
+    plan = synth.row_plan(np.arange(n), 42)
+    t = synth.synth_table(n, seed=42).to_pandas().set_index("image_id")
+    exact = np.flatnonzero(plan["kind"] == synth.KIND_EXACT)
+    assert len(exact) > 0
+    for i in exact[:10]:
+        src = plan["content_id"][i]
+        assert t.loc[f"img-{i:012d}", "bytes"] == t.loc[f"img-{src:012d}", "bytes"]
+        assert t.loc[f"img-{i:012d}", "caption"] == t.loc[f"img-{src:012d}", "caption"]
+
+
+def test_near_dup_image_psnr_holds():
+    from courlan_ray.functions import imagecodec as C
+    n = 400
+    plan = synth.row_plan(np.arange(n), 42)
+    t = synth.synth_table(n, seed=42).to_pandas().set_index("image_id")
+    img_dups = np.flatnonzero(plan["kind"] == synth.KIND_IMG)
+    assert len(img_dups) > 0
+    for i in img_dups[:5]:
+        src = plan["content_id"][i]
+        a = C.decode_image(t.loc[f"img-{i:012d}", "bytes"])
+        b = C.decode_image(t.loc[f"img-{src:012d}", "bytes"])
+        assert a.shape == b.shape
+        assert C.psnr_db(a, b) >= 40.0
+
+
+def test_truth_tables_cover_dups():
+    pairs, clusters = synth.truth_tables(400, 42)
+    assert pairs.num_rows > 0
+    cdf = clusters.to_pandas()
+    assert cdf["image_id"].is_unique
+    # every truth pair's members map to the same truth cluster
+    cmap = cdf.set_index("image_id")["cluster_id"]
+    pdf = pairs.to_pandas()
+    assert (pdf["left_id"].map(cmap) == pdf["right_id"].map(cmap)).all()
+
+
+def test_captions_unique_across_contents():
+    # regression: distinct content ids must not share captions
+    t = synth.synth_table(800, seed=42).to_pandas()
+    plan = synth.row_plan(np.arange(800), 42)
+    orig = t[(plan["kind"] == synth.KIND_ORIG)]
+    assert orig["caption"].is_unique

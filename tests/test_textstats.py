@@ -1,0 +1,40 @@
+import numpy as np
+
+from courlan_ray.functions import textstats as T
+
+
+def test_detect_language():
+    langs, conf = T.detect_language([
+        "the quick brown fox jumps over the lazy dog and the cat",
+        "der schnelle braune Fuchs springt über den faulen Hund und die Katze",
+        "le renard brun saute par dessus le chien paresseux dans la rue",
+        "el zorro marrón salta sobre el perro perezoso en la calle",
+        "zxqv wkrt plmn",          # gibberish -> undetermined
+    ])
+    assert list(langs[:4]) == ["en", "de", "fr", "es"]
+    assert conf[4] == 0.0 or langs[4] == ""
+
+
+def test_lang_gate_passes_undetermined():
+    ok = T.lang_gate(["zxqv wkrt plmn 123", "the cat and the dog"], "en")
+    assert ok.tolist() == [True, True]
+    ok2 = T.lang_gate(["der Hund und die Katze sind im Garten"], "en")
+    assert ok2.tolist() == [False]
+
+
+def test_token_counts():
+    ws = T.token_counts(["one two  three", "", "a b"], mode="whitespace")
+    assert ws.tolist() == [3, 0, 2]
+    bp = T.token_counts(["hello world's fun"], mode="bpeish")
+    assert bp[0] >= 3
+
+
+def test_quality_scores_sane():
+    q = T.quality_scores([
+        "The river flows through the old town and the bridge is busy.",
+        "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( )))",
+        "aaa aaa aaa aaa aaa aaa aaa aaa",
+    ])
+    assert q["quality"][0] > q["quality"][1]
+    assert q["unique_ratio"][2] < 0.3
+    assert 0 <= q["quality"].min() and q["quality"].max() <= 1
