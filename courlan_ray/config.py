@@ -37,6 +37,9 @@ class DedupConfig:
     hamming_threshold: int = 3             # pigeonhole: 4 bands find all dist<=3
     simhash_hamming_threshold: int = 3
 
+    # --- candidate channels (text pipelines drop the pixel channel) ---
+    channels: tuple[str, ...] = ("minhash", "phash", "fingerprint")
+
     # --- suffix/winnowing substring fingerprints (near-verbatim captions) ---
     fingerprint_k: int = 8                 # k-gram size for winnowing
     fingerprint_window: int = 4            # winnow window -> guarantee length k+w-1

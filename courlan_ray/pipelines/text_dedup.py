@@ -1,0 +1,92 @@
+"""Text near-duplicate pipeline: the dedup engine applied to a documents
+table (doc_id, text) — MinHash+LSH over character shingles, SimHash,
+winnowing substring fingerprints, connected components, representatives.
+
+Same stages as the image pipeline minus the pixel channel; demonstrates the
+engine is payload-agnostic (the courlan contract over any record stream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..functions.hashing import (char_shingle_hashes, minhash_signatures,
+                                 simhash64, winnowing_fingerprints)
+from ..stages.lsh import candidate_pairs
+from ..stages.components import connected_components, assign_clusters
+from ..stages.sampling import cluster_representatives
+
+
+class TextSignatureActor:
+    """Actor-pool signature stage for text rows (id_col, text_col)."""
+
+    def __init__(self, cfg: DedupConfig, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.cfg, self.id_col, self.text_col = cfg, id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        import pyarrow.compute as pc
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(batch[self.text_col], r"\s+", " ")))
+        texts = norm.to_pylist()
+        sh, counts = char_shingle_hashes(texts, cfg.shingle_width, seed=cfg.seed)
+        minh = minhash_signatures(sh, counts, cfg.num_perm, seed=cfg.seed + 1)
+        sim = simhash64(sh, counts)
+        fps, fpc = winnowing_fingerprints(texts, cfg.fingerprint_k,
+                                          cfg.fingerprint_window,
+                                          seed=cfg.seed + 2)
+        mh_flat = pa.array(minh.view(np.int64).ravel(), pa.int64())
+        off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(fpc, out=off[1:])
+        ids = pc.cast(batch[self.id_col], pa.string())
+        return pa.table({
+            "image_id": ids,                # engine-wide id column name
+            "caption_key": norm,
+            "minhash": pa.FixedSizeListArray.from_arrays(mh_flat, cfg.num_perm),
+            "simhash_cap": pa.array(sim.view(np.int64), pa.int64()),
+            "simhash_pix": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "phash": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "fingerprints": pa.ListArray.from_arrays(
+                pa.array(off, pa.int32()), pa.array(fps.view(np.int64), pa.int64())),
+            "shingle_count": pa.array(counts.astype(np.int32), pa.int32()),
+            "decode_ok": pa.array(np.ones(n, dtype=bool)),
+        })
+
+
+def text_signatures(ds, cfg: DedupConfig, *, id_col="doc_id", text_col="text"):
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    pool = max(1, min(cfg.signature_concurrency, cpus - 2))
+    return ds.map_batches(TextSignatureActor,
+                          fn_constructor_args=(cfg, id_col, text_col),
+                          batch_format="pyarrow", batch_size=cfg.batch_size,
+                          concurrency=pool, num_cpus=1)
+
+
+def text_dedup_pipeline(ds, cfg: DedupConfig | None = None, *,
+                        id_col="doc_id", text_col="text") -> dict:
+    """documents -> clusters + verified pairs over the text-only channels
+    (MinHash + winnowing fingerprints; the pixel channel is disabled)."""
+    import dataclasses
+    from ..stages.verify import verify_pairs
+
+    cfg = cfg or DedupConfig()
+    if "phash" in cfg.channels:
+        cfg = dataclasses.replace(cfg, channels=("minhash", "fingerprint"))
+    sigs = text_signatures(ds, cfg, id_col=id_col, text_col=text_col).materialize()
+    cands = candidate_pairs(sigs, cfg).materialize()
+    scored = verify_pairs(cands, sigs, cfg).materialize()
+    verified = scored.filter(expr="verified == True")
+    edges = verified.select_columns(["left_id", "right_id"]).materialize()
+    comp = connected_components(edges, cfg)
+    all_ids = sigs.select_columns(["image_id"])
+    assigned = assign_clusters(all_ids, comp, cfg)
+    clusters = cluster_representatives(assigned, cfg)
+    return {"clusters": clusters, "pairs": scored, "signatures": sigs}

@@ -57,34 +57,35 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     buckets: list[np.ndarray] = []
     row_idx: list[np.ndarray] = []
 
-    # --- channel 1: minhash bands ---
-    mh = np.asarray(sig_batch["minhash"].combine_chunks().flatten()
-                    .to_numpy(zero_copy_only=False)).view(_U64).reshape(n, cfg.num_perm)
-    bk = band_keys(mh, cfg.bands, seed=cfg.seed + 11)          # (n, bands)
-    ch = splitmix64(bk ^ _U64(CH_MINHASH))
-    buckets.append(ch.ravel())
-    row_idx.append(np.repeat(np.arange(n), cfg.bands))
+    if "minhash" in cfg.channels:
+        mh = np.asarray(sig_batch["minhash"].combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False)).view(_U64).reshape(n, cfg.num_perm)
+        bk = band_keys(mh, cfg.bands, seed=cfg.seed + 11)      # (n, bands)
+        ch = splitmix64(bk ^ _U64(CH_MINHASH))
+        buckets.append(ch.ravel())
+        row_idx.append(np.repeat(np.arange(n), cfg.bands))
 
-    # --- channel 2: phash 16-bit bands (Hamming-ball multi-index) ---
-    ph = sig_batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(_U64)
-    nb = cfg.phash_bands
-    width = 64 // nb
-    mask = _U64((1 << width) - 1)
-    pieces = np.empty((n, nb), dtype=_U64)
-    for b in range(nb):
-        piece = (ph >> _U64(b * width)) & mask
-        pieces[:, b] = splitmix64(piece ^ splitmix64(np.full(n, _U64(b + 101))))
-    ch2 = splitmix64(pieces ^ _U64(CH_PHASH))
-    buckets.append(ch2.ravel())
-    row_idx.append(np.repeat(np.arange(n), nb))
+    if "phash" in cfg.channels:
+        # phash 16-bit bands (Hamming-ball multi-index)
+        ph = sig_batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(_U64)
+        nb = cfg.phash_bands
+        width = 64 // nb
+        mask = _U64((1 << width) - 1)
+        pieces = np.empty((n, nb), dtype=_U64)
+        for b in range(nb):
+            piece = (ph >> _U64(b * width)) & mask
+            pieces[:, b] = splitmix64(piece ^ splitmix64(np.full(n, _U64(b + 101))))
+        ch2 = splitmix64(pieces ^ _U64(CH_PHASH))
+        buckets.append(ch2.ravel())
+        row_idx.append(np.repeat(np.arange(n), nb))
 
-    # --- channel 3: winnowing fingerprints ---
-    fp_list = sig_batch["fingerprints"].combine_chunks()
-    fp_flat = np.asarray(fp_list.flatten().to_numpy(zero_copy_only=False)).view(_U64)
-    fp_counts = np.diff(fp_list.offsets.to_numpy(zero_copy_only=False))
-    ch3 = splitmix64(fp_flat ^ _U64(CH_FINGERPRINT))
-    buckets.append(ch3)
-    row_idx.append(np.repeat(np.arange(n), fp_counts))
+    if "fingerprint" in cfg.channels:
+        fp_list = sig_batch["fingerprints"].combine_chunks()
+        fp_flat = np.asarray(fp_list.flatten().to_numpy(zero_copy_only=False)).view(_U64)
+        fp_counts = np.diff(fp_list.offsets.to_numpy(zero_copy_only=False))
+        ch3 = splitmix64(fp_flat ^ _U64(CH_FINGERPRINT))
+        buckets.append(ch3)
+        row_idx.append(np.repeat(np.arange(n), fp_counts))
 
     all_buckets = np.concatenate(buckets).view(np.int64)
     all_rows = np.concatenate(row_idx)

@@ -88,7 +88,10 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
                   batch["simhash_pix_r"].to_numpy(zero_copy_only=False))
 
         cap_ok = jac >= cfg.jaccard_threshold
-        pix_ok = (ph <= cfg.hamming_threshold) | (sp <= cfg.simhash_hamming_threshold)
+        if "phash" in cfg.channels:
+            pix_ok = (ph <= cfg.hamming_threshold) | (sp <= cfg.simhash_hamming_threshold)
+        else:
+            pix_ok = np.zeros(n, dtype=bool)
 
         # substring check only where cheap channels failed (few rows)
         sub_ratio = np.zeros(n, dtype=np.float32)
