@@ -1,0 +1,102 @@
+"""Associative grouped aggregation: partial-combine tree instead of a raw
+sort shuffle.
+
+Ray 2.49's ``groupby().aggregate()`` pays a ~40 s sort-shuffle constant on
+this cluster even for a few hundred thousand rows (measured: 360 k rows
+40 s vs 0.22 s for a single pyarrow ``group_by``).  Every grouped operation
+this engine needs (bucket representative = min, keeper = min, cluster
+size = count, counters = sum, label propagation = min) is ASSOCIATIVE, so
+the scale-correct plan is map-side partial aggregation followed by a
+combine tree (the "pre-aggregate inside map_batches before a small
+groupby" rule, SURVEY.md §4 / ray_guide aggregation section):
+
+  pass 1: pyarrow ``group_by`` per block (C-vectorized)
+  pass k: coalesce blocks ``fanout``-to-1 (``repartition`` without
+          shuffle moves no rows) and re-combine per merged block
+  final:  one block holds one row per key.
+
+The tree needs the final key cardinality to fit one task; above
+``tree_max_groups`` we fall back to Ray's hash/sort shuffle groupby, which
+is the right topology for 10^9+ distinct keys on a real cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TREE_MAX_GROUPS = 20_000_000
+_MERGE_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
+
+
+def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
+                fanout: int = 8, tree_max_groups: int = TREE_MAX_GROUPS,
+                mode: str = "auto"):
+    """Grouped aggregation of ``ds`` by ``keys``.
+
+    specs: (input_col, fn, output_col) with fn in {min,max,sum,count}.
+    Returns a Dataset with columns keys + output_cols (one row per key).
+    ``mode``: "tree" | "shuffle" | "auto" (tree when the input row count —
+    an upper bound on group count — is below ``tree_max_groups``).
+    """
+    if mode == "auto":
+        try:
+            n = ds.count()
+        except Exception:
+            n = None
+        mode = "tree" if (n is not None and n <= tree_max_groups) else "shuffle"
+    if mode == "shuffle":
+        from ray.data.aggregate import Min, Max, Sum, Count
+        mk = {"min": Min, "max": Max, "sum": Sum}
+        aggs = []
+        for col, fn, out in specs:
+            if fn == "count":
+                aggs.append(Count(alias_name=out))
+            else:
+                aggs.append(mk[fn](col, alias_name=out))
+        return ds.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+
+    # a count over a key column is re-pointed at a synthetic ones column
+    # (pyarrow can't aggregate a grouping key)
+    needs_ones = any(fn == "count" and c in keys for c, fn, _ in specs)
+    eff = [("__one" if (fn == "count" and c in keys) else c, fn, out)
+           for c, fn, out in specs]
+    first_specs = [(c, "count" if fn == "count" else fn) for c, fn, _ in eff]
+    first_names = [f"{c}_{'count' if fn == 'count' else fn}"
+                   for c, fn, _ in eff]
+    out_cols = [out for _, _, out in eff]
+    merge_specs = [(out, _MERGE_FN[fn]) for _, fn, out in eff]
+    merge_names = [f"{out}_{_MERGE_FN[fn]}" for _, fn, out in eff]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if needs_ones:
+            b = b.append_column("__one", pa.array(
+                np.ones(b.num_rows, dtype=np.int64)))
+        agg = b.group_by(keys).aggregate(first_specs)
+        cols = {k: agg[k] for k in keys}
+        for name, out in zip(first_names, out_cols):
+            cols[out] = agg[name]
+        return pa.table(cols)
+
+    def combine(b: pa.Table) -> pa.Table:
+        agg = b.group_by(keys).aggregate(merge_specs)
+        cols = {k: agg[k] for k in keys}
+        for name, out in zip(merge_names, out_cols):
+            cols[out] = agg[name]
+        return pa.table(cols)
+
+    cur = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    while cur.num_blocks() > 1:
+        target = max(1, cur.num_blocks() // fanout)
+        cur = (cur.repartition(target)
+                  .map_batches(combine, batch_format="pyarrow",
+                               batch_size=None).materialize())
+    return cur
+
+
+def grouped_distinct(ds, keys: list[str], **kw):
+    """Distinct key tuples via the same combine tree."""
+    probe = keys[0]
+    out = grouped_agg(ds, keys, [(probe, "count", "_n")], **kw)
+    return out.drop_columns(["_n"])

@@ -83,12 +83,7 @@ def reject_counters(ds):
     """Lineage counters: rows per reject_reason ('' = accepted).
     Partial-aggregated inside map_batches before the tiny groupby
     (SURVEY.md §4 memory row: combine before shuffle)."""
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        vc = pd.Series(batch["reject_reason"].to_pylist()).value_counts()
-        return pa.table({"reject_reason": vc.index.astype(str),
-                         "n": vc.to_numpy(dtype=np.int64)})
-    from ray.data.aggregate import Sum
-    return (ds.select_columns(["reject_reason"])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby("reject_reason").aggregate(Sum("n", alias_name="n")))
+    from .agg import grouped_agg
+    return grouped_agg(ds.select_columns(["reject_reason"]),
+                       ["reject_reason"],
+                       [("reject_reason", "count", "n")], mode="tree")

@@ -54,7 +54,7 @@ def distributed_components(edges_ds, cfg: DedupConfig):
     """Min-label propagation entirely in Ray Data.  Returns a Dataset
     (image_id, cluster_id) covering every node appearing in edges."""
     import ray.data as rd
-    from ray.data.aggregate import Min
+    from .agg import grouped_agg
 
     def symmetric(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -67,10 +67,11 @@ def distributed_components(edges_ds, cfg: DedupConfig):
     sym = edges_ds.map_batches(symmetric, batch_format="pyarrow").materialize()
 
     # labels: min neighbor vs self per node
-    labels = sym.map_batches(
-        lambda b: pa.table({"image_id": b["image_id"], "label": b["nbr"]}),
-        batch_format="pyarrow") \
-        .groupby("image_id").aggregate(Min("label", alias_name="label"))
+    labels = grouped_agg(
+        sym.map_batches(
+            lambda b: pa.table({"image_id": b["image_id"], "label": b["nbr"]}),
+            batch_format="pyarrow"),
+        ["image_id"], [("label", "min", "label")])
     labels = labels.map_batches(
         lambda b: pa.table({
             "image_id": b["image_id"],
@@ -87,8 +88,8 @@ def distributed_components(edges_ds, cfg: DedupConfig):
             lambda b: pa.table({"image_id": b["nbr"], "label": b["label"]}),
             batch_format="pyarrow")
         merged = cand.union(labels.select_columns(["image_id", "label"]))
-        new_labels = merged.groupby("image_id").aggregate(
-            Min("label", alias_name="label")).materialize()
+        new_labels = grouped_agg(merged, ["image_id"],
+                                 [("label", "min", "label")]).materialize()
 
         # fixpoint check: total label hash invariant under convergence
         changed = _label_digest(new_labels) != _label_digest(labels)

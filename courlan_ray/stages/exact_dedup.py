@@ -38,17 +38,16 @@ def add_exact_key(ds, cfg: DedupConfig, key_col: str = "exact_key"):
 def exact_dup_edges(keyed_ds, cfg: DedupConfig, id_col: str = "image_id"):
     """(left_id=keeper, right_id=dropped) edges from the narrow projection.
 
-    Fully vectorized: ``groupby(exact_key).aggregate(Min)`` computes the
-    keeper (C sort-aggregate, no per-group Python), a partitioned hash join
-    attaches it back, and a filter keeps the non-keepers."""
+    Fully vectorized: the keeper per key comes from the associative
+    combine tree (stages/agg.py), a size-adaptive join attaches it back,
+    and a filter keeps the non-keepers."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
-
+    from .agg import grouped_agg
     from .joins import attach_by_key
 
-    narrow = keyed_ds.select_columns(["exact_key", id_col])
-    keepers = narrow.groupby("exact_key").aggregate(
-        Min(id_col, alias_name="keeper")).materialize()
+    narrow = keyed_ds.select_columns(["exact_key", id_col]).materialize()
+    keepers = grouped_agg(narrow, ["exact_key"],
+                          [(id_col, "min", "keeper")]).materialize()
     joined = attach_by_key(narrow, keepers, ["exact_key"],
                            num_partitions=cfg.shuffle_partitions)
 

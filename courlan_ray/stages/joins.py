@@ -41,6 +41,7 @@ def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,
     column ``keys_col`` (default ``key_col``) of ``keys_ds``.  Chooses
     broadcast vs partitioned join by key count."""
     kc = keys_col or key_col
+    keys_ds = keys_ds.materialize()
     n_keys = keys_ds.count()
     if n_keys == 0:
         return ds if not keep else ds.limit(0)
@@ -79,17 +80,16 @@ def attach_by_key(left_ds, right_ds, on: list[str], *,
 
     ``Dataset.join`` has high fixed cost (aggregator actor pool startup),
     so the broadcast path also keeps small/medium pipelines fast."""
-    n_right = right_ds.count()
+    right_ds = right_ds.materialize()     # count() is then metadata-free and
+    n_right = right_ds.count()            # the collect below doesn't re-execute
     if n_right <= broadcast_max:
-        tbl = _collect(right_ds)
-        ref = ray.put(tbl)
+        small_df = _collect(right_ds).to_pandas()
+        ref = ray.put(small_df)           # converted ONCE, shipped once
+
+        merge_how = "inner" if how == "inner" else "left"
 
         def attach(batch):
-            import pandas as pd
-            small = ray.get(ref).to_pandas()
-            out = batch.merge(small, how="inner" if how == "inner" else "left",
-                              on=on)
-            return out
+            return batch.merge(ray.get(ref), how=merge_how, on=on)
 
         return left_ds.map_batches(attach, batch_format="pandas")
     jt = "inner" if how == "inner" else "left_outer"
@@ -122,22 +122,33 @@ def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str
     table.  Small payload sides are broadcast; large ones use two
     partitioned hash joins (pairs are narrow, so this is cheap relative to
     the candidate-generation shuffle)."""
+    payload_ds = payload_ds.materialize()
     n_payload = payload_ds.count()
     cols = [id_col] + payload_cols
     if n_payload <= broadcast_max:
         tbl = _collect(payload_ds.select_columns(cols))
-        ref = ray.put(tbl)
+        order = pc.sort_indices(tbl[id_col])
+        tbl = tbl.take(order)                       # sorted by id once
+        ids_np = np.asarray(tbl[id_col].to_pylist(), dtype=object)
+        ref = ray.put((ids_np, tbl))
 
         def attach(batch: pa.Table) -> pa.Table:
-            import pandas as pd
-            small = ray.get(ref).to_pandas()
-            df = batch.to_pandas()
-            left = small.rename(columns={c: f"{c}_l" for c in cols})
-            right = small.rename(columns={c: f"{c}_r" for c in cols})
-            df = df.merge(left, how="inner", left_on="left_id", right_on=f"{id_col}_l")
-            df = df.merge(right, how="inner", left_on="right_id", right_on=f"{id_col}_r")
-            return pa.Table.from_pandas(
-                df.drop(columns=[f"{id_col}_l", f"{id_col}_r"]), preserve_index=False)
+            ids_sorted, payload = ray.get(ref)
+            out = batch
+            for side in ("left", "right"):
+                probe = np.asarray(out[f"{side}_id"].to_pylist(), dtype=object)
+                pos = np.searchsorted(ids_sorted, probe)
+                pos = np.clip(pos, 0, len(ids_sorted) - 1)
+                hit = ids_sorted[pos] == probe
+                if not hit.all():                   # drop unmatched pairs
+                    out = out.filter(pa.array(hit))
+                    probe = probe[hit]
+                    pos = pos[hit]
+                suffix = "_l" if side == "left" else "_r"
+                gathered = payload.take(pa.array(pos, pa.int64()))
+                for c in payload_cols:
+                    out = out.append_column(c + suffix, gathered[c])
+            return out
 
         return pairs_ds.map_batches(attach, batch_format="pyarrow")
 

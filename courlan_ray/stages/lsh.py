@@ -115,18 +115,19 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     """Signatures -> distinct candidate (left_id, right_id) star edges.
 
     All shuffles move only (int64, int32, short string) columns; every
-    aggregation is a vectorized Min/Count, never per-group Python."""
-    from ray.data.aggregate import Min
+    aggregation is an associative combine tree (stages/agg.py), never
+    per-group Python."""
+    from .agg import grouped_agg
+    from .joins import attach_by_key
 
     banded = sig_ds.map_batches(lambda b: banding_rows(b, cfg),
                                 batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
     banded = banded.materialize()      # consumed by two branches below
 
-    from .joins import attach_by_key
     P = cfg.shuffle_partitions
-    sub_min = banded.groupby(["bucket", "salt"]).aggregate(
-        Min("image_id", alias_name="sub_rep")).materialize()
+    sub_min = grouped_agg(banded, ["bucket", "salt"],
+                          [("image_id", "min", "sub_rep")]).materialize()
 
     # level-1 star edges: sub-bucket representative -> each member
     e1 = attach_by_key(banded, sub_min, ["bucket", "salt"], num_partitions=P)
@@ -134,23 +135,14 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
                         batch_format="pyarrow")
 
     # level-2 edges: bucket representative -> each sub-bucket representative
-    bucket_min = sub_min.groupby("bucket").aggregate(
-        Min("sub_rep", alias_name="bucket_rep"))
+    bucket_min = grouped_agg(sub_min, ["bucket"],
+                             [("sub_rep", "min", "bucket_rep")])
     e2 = attach_by_key(sub_min, bucket_min, ["bucket"], num_partitions=P)
     e2 = e2.map_batches(lambda b: _canon_edges(b, "bucket_rep", "sub_rep"),
                         batch_format="pyarrow")
 
-    # distinct edges across bands/channels: vectorized aggregate, and a
-    # cheap in-batch pre-dedup to shrink the shuffle (map-side combine)
-    def local_dedup(b: pa.Table) -> pa.Table:
-        agg = b.group_by("pair_key").aggregate(
-            [("left_id", "min"), ("right_id", "min")])
-        return pa.table({"left_id": agg["left_id_min"],
-                         "right_id": agg["right_id_min"],
-                         "pair_key": agg["pair_key"]})
-
-    edges = e1.union(e2).map_batches(local_dedup, batch_format="pyarrow")
-    distinct = edges.groupby("pair_key").aggregate(
-        Min("left_id", alias_name="left_id"),
-        Min("right_id", alias_name="right_id"))
+    # distinct edges across bands/channels via the same combine tree
+    distinct = grouped_agg(e1.union(e2), ["pair_key"],
+                           [("left_id", "min", "left_id"),
+                            ("right_id", "min", "right_id")])
     return distinct.drop_columns(["pair_key"])

@@ -48,17 +48,17 @@ def cluster_representatives(clusters_ds, cfg: DedupConfig,
     """(image_id, cluster_id, is_representative, cluster_size) —
     representative = min id per cluster (the one-per-cluster draw).
 
-    Vectorized at scale: per-cluster Min/Count via C sort-aggregate, then a
-    partitioned hash join back — never per-group Python."""
+    Vectorized at scale: per-cluster min/count via the associative combine
+    tree (stages/agg.py), then a size-adaptive join back — never per-group
+    Python."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Count
-
+    from .agg import grouped_agg
     from .joins import attach_by_key
 
-    stats = clusters_ds.groupby(cluster_col).aggregate(
-        Min(id_col, alias_name="_rep"),
-        Count(alias_name="cluster_size"))
+    stats = grouped_agg(clusters_ds, [cluster_col],
+                        [(id_col, "min", "_rep"),
+                         (id_col, "count", "cluster_size")])
     joined = attach_by_key(clusters_ds, stats, [cluster_col],
                            num_partitions=cfg.shuffle_partitions)
 

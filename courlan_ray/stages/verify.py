@@ -58,8 +58,15 @@ def _lcs_len(a: str, b: str) -> int:
 
 def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
     """(left_id, right_id) candidates -> verified pairs with verdict columns
-    (jaccard, ham_phash, ham_simpix, substr_ratio, verified:bool)."""
-    payload_cols = ["minhash", "simhash_cap", "simhash_pix", "phash", "caption_key"]
+    (jaccard, ham_phash, ham_simpix, substr_ratio, verified:bool).
+
+    The substring channel verifies in two tiers: a cheap winnowing-
+    fingerprint containment bound first (|fp_a ∩ fp_b| relative to the
+    smaller doc's fingerprint count), and the exact LCS dynamic program
+    only for pairs whose containment clears half the threshold — so the
+    O(|a|*|b|) DP runs on a small borderline band, not every candidate."""
+    payload_cols = ["minhash", "simhash_cap", "simhash_pix", "phash",
+                    "caption_key", "fingerprints"]
     joined = hash_join_pairs(pairs_ds, sig_ds, id_col="image_id",
                              payload_cols=payload_cols,
                              num_partitions=cfg.shuffle_partitions)
@@ -93,13 +100,22 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
         else:
             pix_ok = np.zeros(n, dtype=bool)
 
-        # substring check only where cheap channels failed (few rows)
+        # substring check only where cheap channels failed
         sub_ratio = np.zeros(n, dtype=np.float32)
         need = ~(cap_ok | pix_ok)
         if need.any():
+            fl = batch["fingerprints_l"].to_pylist()
+            fr = batch["fingerprints_r"].to_pylist()
             cl = batch["caption_key_l"].to_pylist()
             cr = batch["caption_key_r"].to_pylist()
+            half = cfg.substring_min_ratio / 2
             for i in np.flatnonzero(need):
+                sa, sb = set(fl[i]), set(fr[i])
+                if not sa or not sb:
+                    continue
+                containment = len(sa & sb) / min(len(sa), len(sb))
+                if containment < half:
+                    continue                      # cheap reject
                 a, b = cl[i], cr[i]
                 denom = min(len(a), len(b))
                 if denom >= cfg.fingerprint_k:
