@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS|32)`` and
+prints ONE JSON line::
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
+
+``--scaling`` runs the headline job twice in fresh processes (8 vs 32
+CPUs, same input, identical seed/config -> byte-identical output) and
+reports both throughputs plus scaling efficiency — the sandbox protocol
+for the north_rule two-cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from courlan_ray.sources.synth import synth_parquet
+    from courlan_ray.config import DedupConfig
+    from courlan_ray.pipelines.image_dedup import dedup_pipeline
+    from courlan_ray.pipelines import queries as Q
+    from courlan_ray.pipelines.extras import _SF_ROWS, _sf_of
+
+    # --- headline: flagship image dedup on the synthetic table ---
+    n_rows = int(os.environ.get("RAY_GRAFT_SYNTH_ROWS", "0")) \
+        or _SF_ROWS[_sf_of(SF_DIR)]
+    path = synth_parquet(n_rows, 42)            # cached; generation untimed
+    rd.read_parquet(path).count()               # warm page cache (untimed)
+
+    t0 = time.time()
+    out = dedup_pipeline(rd.read_parquet(path), DedupConfig())
+    n_clustered = out["clusters"].count()
+    headline = time.time() - t0
+
+    # --- representative per-query timings over the sf tables ---
+    timings: dict[str, float] = {}
+    if os.environ.get("RAY_GRAFT_SKIP_QUERIES"):
+        return {
+            "metric": "image dedup end-to-end sec",
+            "value": round(headline, 3), "unit": "sec", "queries": {},
+            "sf": _sf(SF_DIR), "num_cpus": NCPU, "rows": n_rows,
+            "rows_clustered": n_clustered,
+            "images_per_sec": round(n_rows / headline, 1),
+        }
+    for name in ("doc_normalize", "doc_exact_dedup", "q1_lineitem",
+                 "events_window", "events_counters", "orders_top_customers",
+                 "emb_knn"):
+        t0 = time.time()
+        r = Q.QUERIES[name](SF_DIR)
+        if hasattr(r, "count"):
+            r.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    from courlan_ray.pipelines.extras import doc_minhash_clusters
+    t0 = time.time()
+    doc_minhash_clusters(SF_DIR).count()
+    timings["doc_minhash_clusters"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "image dedup end-to-end sec (canonicalize->signatures->LSH->verify->cluster->sample)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf(SF_DIR),
+        "num_cpus": NCPU,
+        "rows": n_rows,
+        "rows_clustered": n_clustered,
+        "images_per_sec": round(n_rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input, fresh interpreters at N and 4N CPUs.
+    Uses a larger table (default 100k rows) so per-stage fixed costs
+    amortize and the measurement reflects compute+shuffle scaling."""
+    lo, hi = 8, 32
+    rows = os.environ.get("RAY_GRAFT_SYNTH_ROWS", "100000")
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_SYNTH_ROWS=rows, RAY_GRAFT_SKIP_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    one(lo)                      # warm the parquet cache (untimed run)
+    r_lo, r_hi = one(lo), one(hi)
+    tp_lo, tp_hi = r_lo["images_per_sec"], r_hi["images_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (images/sec at 8 vs 32 CPUs, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "images_per_sec_8": tp_lo, "images_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"], "rows": r_lo["rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+        ray.shutdown()
+        print(json.dumps(result))

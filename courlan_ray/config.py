@@ -41,14 +41,20 @@ class DedupConfig:
     channels: tuple[str, ...] = ("minhash", "phash", "fingerprint")
 
     # --- suffix/winnowing substring fingerprints (near-verbatim captions) ---
-    fingerprint_k: int = 8                 # k-gram size for winnowing
-    fingerprint_window: int = 4            # winnow window -> guarantee length k+w-1
+    fingerprint_k: int = 16                # k-gram size for winnowing
+    fingerprint_window: int = 8            # winnow window: shared substrings of
+                                           # >= k+w-1 (=23) chars share a print —
+                                           # long enough to skip common short
+                                           # phrases, short enough for quotes
     substring_min_ratio: float = 0.60      # LCS/len ratio to verify substring pair
 
     # --- skew / shuffle control ---
     num_salts: int = 8                     # sub-buckets per hot band bucket
-    bucket_pair_cap: int = 64              # above this group size emit windowed pairs
-    pair_window: int = 4                   # neighbors linked per id in windowed mode
+    weak_bucket_cap: int = 64              # max members of a weak-channel
+                                           # (phash band / fingerprint) bucket;
+                                           # larger buckets are collision noise
+                                           # (e.g. a common phrase), not dups —
+                                           # strong MinHash bands are never capped
     shuffle_partitions: int = 64           # hash-join / co-partition fan-out
 
     # --- connected components ---
@@ -66,7 +72,8 @@ class DedupConfig:
 
     # --- execution sizing ---
     batch_size: int = 4096
-    signature_concurrency: int = 8
+    signature_batch_size: int = 1024       # smaller batches -> more decode tasks
+    signature_concurrency: int = 16
 
     @property
     def rows_per_band(self) -> int:

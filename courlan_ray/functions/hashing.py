@@ -135,12 +135,13 @@ def simhash64(shingle_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
     n = counts.shape[0]
     if n == 0:
         return np.empty(0, dtype=_U64)
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
     # bits: (total_shingles, 64) 0/1, little-endian bit order per byte
     bytes_view = shingle_hashes.astype("<u8").view(np.uint8).reshape(-1, 8)
-    bits = np.unpackbits(bytes_view, axis=1, bitorder="little").astype(np.int32)
-    sums = np.add.reduceat(bits, offsets, axis=0)          # (ndocs, 64)
+    bits = np.unpackbits(bytes_view, axis=1, bitorder="little")
+    doc_idx = np.repeat(np.arange(n), counts)
+    sums = np.empty((n, 64), dtype=np.int64)
+    for j in range(64):        # 64 C-level segment sums (beats 2-D reduceat)
+        sums[:, j] = np.bincount(doc_idx, weights=bits[:, j], minlength=n)
     majority = (sums * 2 > counts[:, None]).astype(np.uint8)
     return np.packbits(majority, axis=1, bitorder="little").view("<u8").ravel().astype(_U64)
 

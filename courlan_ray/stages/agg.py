@@ -40,11 +40,15 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
     an upper bound on group count — is below ``tree_max_groups``).
     """
     if mode == "auto":
-        try:
-            n = ds.count()
-        except Exception:
-            n = None
-        mode = "tree" if (n is not None and n <= tree_max_groups) else "shuffle"
+        # only a MaterializedDataset has a free count(); counting a lazy
+        # dataset would re-execute its whole upstream chain.  Lazy inputs
+        # default to the tree — callers at 10^9+ group scale pass
+        # mode="shuffle" (or a materialized input) explicitly.
+        from ray.data.dataset import MaterializedDataset
+        if isinstance(ds, MaterializedDataset):
+            mode = "tree" if ds.count() <= tree_max_groups else "shuffle"
+        else:
+            mode = "tree"
     if mode == "shuffle":
         from ray.data.aggregate import Min, Max, Sum, Count
         mk = {"min": Min, "max": Max, "sum": Sum}

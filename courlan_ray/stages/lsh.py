@@ -56,6 +56,7 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     buckets: list[np.ndarray] = []
     row_idx: list[np.ndarray] = []
+    chan_tags: list[np.ndarray] = []
 
     if "minhash" in cfg.channels:
         mh = np.asarray(sig_batch["minhash"].combine_chunks().flatten()
@@ -64,6 +65,7 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         ch = splitmix64(bk ^ _U64(CH_MINHASH))
         buckets.append(ch.ravel())
         row_idx.append(np.repeat(np.arange(n), cfg.bands))
+        chan_tags.append(np.full(n * cfg.bands, CH_MINHASH))
 
     if "phash" in cfg.channels:
         # phash 16-bit bands (Hamming-ball multi-index)
@@ -78,6 +80,7 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         ch2 = splitmix64(pieces ^ _U64(CH_PHASH))
         buckets.append(ch2.ravel())
         row_idx.append(np.repeat(np.arange(n), nb))
+        chan_tags.append(np.full(n * nb, CH_PHASH))
 
     if "fingerprint" in cfg.channels:
         fp_list = sig_batch["fingerprints"].combine_chunks()
@@ -86,12 +89,15 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         ch3 = splitmix64(fp_flat ^ _U64(CH_FINGERPRINT))
         buckets.append(ch3)
         row_idx.append(np.repeat(np.arange(n), fp_counts))
+        chan_tags.append(np.full(len(fp_flat), CH_FINGERPRINT))
 
     all_buckets = np.concatenate(buckets).view(np.int64)
     all_rows = np.concatenate(row_idx)
+    chans = np.concatenate(chan_tags).astype(np.int8)
     return pa.table({
         "bucket": pa.array(all_buckets, pa.int64()),
         "salt": pa.array(salt[all_rows], pa.int32()),
+        "ch": pa.array(chans, pa.int8()),
         "image_id": ids.take(pa.array(all_rows)),
     })
 
@@ -126,20 +132,41 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     banded = banded.materialize()      # consumed by two branches below
 
     P = cfg.shuffle_partitions
+    cap = cfg.weak_bucket_cap
     sub_min = grouped_agg(banded, ["bucket", "salt"],
-                          [("image_id", "min", "sub_rep")]).materialize()
+                          [("image_id", "min", "sub_rep"),
+                           ("image_id", "count", "sub_n"),
+                           ("ch", "min", "ch")]).materialize()
+
+    def weak_ok(b: pa.Table, n_col: str) -> pa.Table:
+        # weak channels (phash band / fingerprint) are single-feature
+        # collisions: buckets above the cap are noise (a common phrase, a
+        # popular 16-bit phash band) and are dropped; full-signature
+        # MinHash bands are never capped (the hot-band path relies on them)
+        keep = pc.or_(pc.equal(b["ch"], pa.scalar(CH_MINHASH, pa.int8())),
+                      pc.less_equal(b[n_col], pa.scalar(cap)))
+        return b.filter(keep)
 
     # level-1 star edges: sub-bucket representative -> each member
-    e1 = attach_by_key(banded, sub_min, ["bucket", "salt"], num_partitions=P)
-    e1 = e1.map_batches(lambda b: _canon_edges(b, "sub_rep", "image_id"),
+    # (banded's own ch column is dropped; sub_min carries the same value)
+    e1 = attach_by_key(banded.drop_columns(["ch"]), sub_min,
+                       ["bucket", "salt"], num_partitions=P)
+    e1 = e1.map_batches(lambda b: _canon_edges(weak_ok(b, "sub_n"),
+                                               "sub_rep", "image_id"),
                         batch_format="pyarrow")
 
     # level-2 edges: bucket representative -> each sub-bucket representative
     bucket_min = grouped_agg(sub_min, ["bucket"],
-                             [("sub_rep", "min", "bucket_rep")])
+                             [("sub_rep", "min", "bucket_rep"),
+                              ("sub_n", "sum", "bucket_n"),
+                              ("ch", "min", "bucket_ch")])
     e2 = attach_by_key(sub_min, bucket_min, ["bucket"], num_partitions=P)
-    e2 = e2.map_batches(lambda b: _canon_edges(b, "bucket_rep", "sub_rep"),
-                        batch_format="pyarrow")
+    e2 = e2.map_batches(
+        lambda b: _canon_edges(
+            b.filter(pc.or_(pc.equal(b["bucket_ch"], pa.scalar(CH_MINHASH, pa.int8())),
+                            pc.less_equal(b["bucket_n"], pa.scalar(cap)))),
+            "bucket_rep", "sub_rep"),
+        batch_format="pyarrow")
 
     # distinct edges across bands/channels via the same combine tree
     distinct = grouped_agg(e1.union(e2), ["pair_key"],

@@ -110,7 +110,7 @@ def compute_signatures(ds, cfg: DedupConfig):
         SignatureActor,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=cfg.signature_batch_size,
         concurrency=pool,
         num_cpus=1,
     )
