@@ -111,7 +111,8 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    one(lo)                      # warm the parquet cache (untimed run)
+    # each child warms its own read; the first child also generates (and
+    # caches) the synthetic table, so its generation time is untimed
     r_lo, r_hi = one(lo), one(hi)
     tp_lo, tp_hi = r_lo["images_per_sec"], r_hi["images_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)

@@ -1,0 +1,119 @@
+"""URL processing pipelines: the Ray Data equivalents of the reference CLI.
+
+- ``process_urls``: the ``courlan -i in -o out -d rej`` filtering pipeline
+  (/root/reference/courlan/cli.py:135-177) as a streaming Dataset graph:
+  read_text -> check_urls map_batches -> accepted/rejected splits.
+- ``sample_by_host``: the ``--sample`` pipeline (cli.py:112-132 +
+  sampling.py:15-68): canonicalize -> group by hostinfo -> exact dedup
+  within host -> per-host deterministic sample with exclude bounds.
+- ``url_frontier_schedule``: ``establish_download_schedule`` semantics
+  (urlstore.py:455-505) as a dataflow: fair per-host slots, per-URL
+  backoff stamps, global sort by scheduled time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import urlbatch
+from ..functions.hashing import hash_strings
+
+
+def read_url_file(path: str):
+    import ray.data as rd
+    return rd.read_text(path)
+
+
+def process_urls(ds, *, strict: bool = False, language: str | None = None,
+                 with_nav: bool = False, trailing_slash: bool = True,
+                 url_col: str = "text"):
+    """URLs Dataset -> canonicalized Dataset with valid/reject columns.
+    Consume with ``.filter(expr="valid == True")`` and the complement —
+    the CLI's output/discard file split."""
+    def kernel(batch: pa.Table) -> pa.Table:
+        return urlbatch.check_urls_batch(
+            batch[url_col], strict=strict, language=language,
+            with_nav=with_nav, trailing_slash=trailing_slash)
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def sample_by_host(ds, samplesize: int, *, exclude_min: int | None = None,
+                   exclude_max: int | None = None, strict: bool = False,
+                   language: str | None = None, seed: int = 0,
+                   url_col: str = "text"):
+    """courlan ``sample_urls`` as a distributed pipeline.
+
+    Semantics (sampling.py:15-47): group canonical URLs by hostinfo, drop
+    the root path '/', dedupe within host, drop hosts outside
+    [exclude_min, exclude_max], take ``samplesize`` paths per host (all if
+    fewer), output sorted per host.  The draw is seeded/key-derived
+    instead of random.sample (order-free determinism, SURVEY.md §4)."""
+    checked = process_urls(ds, strict=strict, language=language,
+                           url_col=url_col)
+    valid = checked.filter(expr="valid == True")
+
+    def to_host_path(batch: pa.Table) -> pa.Table:
+        t = urlbatch.host_path_batch(batch["url_norm"])
+        return pa.table({"hostinfo": t["hostinfo"], "path": t["path"]})
+
+    hp = valid.map_batches(to_host_path, batch_format="pyarrow")
+
+    lo = exclude_min if exclude_min is not None else 0
+    hi = exclude_max if exclude_max is not None else 1 << 62
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        paths = np.unique(g["path"].to_numpy())
+        paths = paths[paths != "/"]
+        n = len(paths)
+        if n == 0 or n < lo or n > hi:
+            return pd.DataFrame({"url": pd.Series([], dtype=object)})
+        if n > samplesize:
+            rank = hash_strings(paths.astype(object), seed=seed)
+            paths = paths[np.argsort(rank, kind="stable")[:samplesize]]
+        host = g["hostinfo"].iloc[0]
+        return pd.DataFrame({"url": [host + p for p in sorted(paths)]})
+
+    return hp.groupby("hostinfo").map_groups(per_host, batch_format="pandas")
+
+
+def url_frontier_schedule(ds, *, max_urls: int = 10_000, per_host: int = 5,
+                          sleep_time: float = 5.0, url_col: str = "text"):
+    """``establish_download_schedule`` as a dataflow
+    (urlstore.py:455-505): cap per-host draws at ``per_host`` (fair
+    share), stamp each URL with a host-local backoff (slot * sleep_time),
+    global sort by scheduled time, global cap at ``max_urls``.
+
+    Returns (url, hostinfo, sched_secs) sorted by sched_secs."""
+    checked = process_urls(ds, url_col=url_col)
+    valid = checked.filter(expr="valid == True")
+    hp = valid.map_batches(
+        lambda b: urlbatch.host_path_batch(b["url_norm"]),
+        batch_format="pyarrow")
+
+    def per_host_slots(g: pd.DataFrame) -> pd.DataFrame:
+        paths = np.unique(g["path"].to_numpy())[:per_host]
+        host = g["hostinfo"].iloc[0]
+        return pd.DataFrame({
+            "url": [host + p for p in paths],
+            "hostinfo": host,
+            "sched_secs": np.arange(len(paths), dtype=np.float64) * sleep_time,
+        })
+
+    slots = hp.groupby("hostinfo").map_groups(per_host_slots,
+                                              batch_format="pandas")
+    return slots.sort("sched_secs").limit(max_urls)
+
+
+def sample_urls(input_urls: list[str], samplesize: int,
+                exclude_min: int | None = None,
+                exclude_max: int | None = None, strict: bool = False,
+                verbose: bool = False) -> list[str]:
+    """Drop-in scalar API parity for the reference's ``sample_urls``
+    (sampling.py:50-68), executed on Ray Data."""
+    import ray.data as rd
+    ds = rd.from_pandas(pd.DataFrame({"text": input_urls}))
+    out = sample_by_host(ds, samplesize, exclude_min=exclude_min,
+                         exclude_max=exclude_max, strict=strict)
+    return sorted(r["url"] for r in out.take_all())
