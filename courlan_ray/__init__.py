@@ -16,6 +16,7 @@ from .functions.urls import (
     validate_url, check_url as check_url_strict_api,
 )
 from .pipelines.url_pipeline import sample_urls
+from .state.urltable import RayUrlStore, RayUrlStore as UrlStore, load_store
 from .pipelines.image_dedup import dedup_pipeline, pair_recall
 from .pipelines.text_dedup import text_dedup_pipeline
 
@@ -30,6 +31,7 @@ __all__ = [
     "get_hostinfo", "get_tldinfo", "is_external", "is_known_link",
     "is_navigation_page", "is_not_crawlable", "is_valid_url", "lang_filter",
     "normalize_url", "sample_urls", "scrub_url", "validate_url",
+    "RayUrlStore", "UrlStore", "load_store",
     # engine
     "dedup_pipeline", "pair_recall", "text_dedup_pipeline",
 ]
