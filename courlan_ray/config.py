@@ -50,7 +50,7 @@ class DedupConfig:
 
     # --- skew / shuffle control ---
     num_salts: int = 8                     # sub-buckets per hot band bucket
-    weak_bucket_cap: int = 64              # max members of a weak-channel
+    weak_bucket_cap: int = 16              # max members of a weak-channel
                                            # (phash band / fingerprint) bucket;
                                            # larger buckets are collision noise
                                            # (e.g. a common phrase), not dups —
@@ -73,7 +73,7 @@ class DedupConfig:
     # --- execution sizing ---
     batch_size: int = 4096
     signature_batch_size: int = 1024       # smaller batches -> more decode tasks
-    signature_concurrency: int = 16
+    signature_concurrency: int = 24
 
     @property
     def rows_per_band(self) -> int:

@@ -270,6 +270,7 @@ def emb_knn(sf_dir: str):
     """Brute-force cosine top-5 for the vec_id=0 query vector: the ANN
     baseline (broadcast query, vectorized matmul per batch)."""
     import ray
+    from ..stages.joins import cached_get
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = None
     for b in ds.filter(expr="vec_id == 0").take(1):
@@ -282,7 +283,7 @@ def emb_knn(sf_dir: str):
                           .to_numpy(zero_copy_only=False),
                           dtype=np.float64).reshape(b.num_rows, -1)
         norms = np.linalg.norm(vecs, axis=1)
-        sim = (vecs @ ray.get(qref)) / np.where(norms == 0, 1, norms)
+        sim = (vecs @ cached_get(qref)) / np.where(norms == 0, 1, norms)
         return pa.table({"vec_id": b["vec_id"],
                          "cos_sim": pa.array(np.round(sim, 4), pa.float64())})
 

@@ -18,6 +18,7 @@ import ray
 
 from ..config import DedupConfig
 from ..functions.hashing import splitmix64
+from .joins import cached_get
 
 _U64 = np.uint64
 
@@ -53,7 +54,7 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int, *,
     def partial(batch: pa.Table) -> pa.Table:
         vecs = _vecs(batch, vec_col)
         norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        sims = (vecs / norms) @ ray.get(qref)          # (B, Q)
+        sims = (vecs / norms) @ cached_get(qref)          # (B, Q)
         nq = sims.shape[1]
         kk = min(k, sims.shape[0])
         top = np.argpartition(-sims, kk - 1, axis=0)[:kk]      # (kk, Q)
@@ -99,19 +100,19 @@ def ann_lsh(ds, queries: np.ndarray, k: int, *, bits: int = 8,
     qref = ray.put(qn.T)
 
     def partial(batch: pa.Table) -> pa.Table:
-        planes_ = ray.get(pref)
+        planes_ = cached_get(pref)
         vecs = _vecs(batch, vec_col)
         norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         vn = vecs / norms
         buckets = _bucket_of(vn, planes_)
-        keep = np.isin(buckets, ray.get(wref))
+        keep = np.isin(buckets, cached_get(wref))
         if not keep.any():
             return pa.table({"query_idx": pa.array([], pa.int64()),
                              id_col: pa.array([], batch[id_col].type),
                              "cos_sim": pa.array([], pa.float64()),
                              "bucket": pa.array([], pa.int64())})
         vn = vn[keep]
-        sims = vn @ ray.get(qref)
+        sims = vn @ cached_get(qref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
         nq = sims.shape[1]
         out_q = np.repeat(np.arange(nq, dtype=np.int64), vn.shape[0])
@@ -167,7 +168,7 @@ def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
     vref = ray.put(vec_tbl)
 
     def verify(batch: pa.Table) -> pa.Table:
-        tbl = ray.get(vref)
+        tbl = cached_get(vref)
         lookup = {v: i for i, v in enumerate(tbl["vid"].to_pylist())}
         mat = np.asarray(tbl[vec_col].combine_chunks().flatten()
                          .to_numpy(zero_copy_only=False),

@@ -19,6 +19,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+# Per-worker cache for broadcast objects: ray.get() re-deserializes
+# non-zero-copy payloads (pandas frames, object-dtype arrays, tuples) on
+# EVERY call, which turns a broadcast join into a per-batch unpickle of
+# the whole small side.  Each worker process deserializes once instead.
+_GET_CACHE: dict[str, object] = {}
+
+
+def cached_get(ref):
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _GET_CACHE:
+        if len(_GET_CACHE) >= 4:    # bound per-worker broadcast memory
+            _GET_CACHE.pop(next(iter(_GET_CACHE)))
+        _GET_CACHE[key] = ray.get(ref)
+    return _GET_CACHE[key]
+
 # above this many keys we stop broadcasting and use a partitioned join
 BROADCAST_MAX_KEYS = 5_000_000
 
@@ -50,7 +65,7 @@ def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,
         ref = ray.put(pa.array(sorted(set(key_list))))
 
         def probe(batch: pa.Table) -> pa.Table:
-            vals = ray.get(ref)
+            vals = cached_get(ref)
             mask = pc.is_in(batch[key_col], value_set=vals)
             if not keep:
                 mask = pc.invert(mask)
@@ -89,7 +104,7 @@ def attach_by_key(left_ds, right_ds, on: list[str], *,
         merge_how = "inner" if how == "inner" else "left"
 
         def attach(batch):
-            return batch.merge(ray.get(ref), how=merge_how, on=on)
+            return batch.merge(cached_get(ref), how=merge_how, on=on)
 
         return left_ds.map_batches(attach, batch_format="pandas")
     jt = "inner" if how == "inner" else "left_outer"
@@ -109,7 +124,7 @@ def broadcast_lookup(ds, small_table: pa.Table, key_col: str,
     rk = right_key or key_col
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        small: pa.Table = ray.get(ref)
+        small: pa.Table = cached_get(ref)
         sdf = small.select([rk] + value_cols).to_pandas()
         return batch.merge(sdf, how="left", left_on=key_col, right_on=rk)
 
@@ -133,7 +148,7 @@ def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str
         ref = ray.put((ids_np, tbl))
 
         def attach(batch: pa.Table) -> pa.Table:
-            ids_sorted, payload = ray.get(ref)
+            ids_sorted, payload = cached_get(ref)
             out = batch
             for side in ("left", "right"):
                 probe = np.asarray(out[f"{side}_id"].to_pylist(), dtype=object)

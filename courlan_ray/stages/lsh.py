@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 
 from ..config import DedupConfig
 from ..functions.hashing import band_keys, hash_u64_pair, hash_strings, splitmix64
+from .joins import cached_get
 
 _U64 = np.uint64
 
@@ -117,59 +118,169 @@ def _canon_edges(batch: pa.Table, left: str, right: str) -> pa.Table:
                      "pair_key": pa.array(pk.view(np.int64), pa.int64())})
 
 
+_EDGE_SCHEMA = pa.schema([("bucket", pa.int64()), ("ch", pa.int8()),
+                          ("left_id", pa.string()), ("right_id", pa.string())])
+
+
+def _reduce_round(b: pa.Table) -> pa.Table:
+    """One combine-tree round over (bucket, salt, ch, image_id, cnt) rows:
+    per (bucket, salt) group take the min id as representative, emit a
+    star edge rep -> member for every other member, and pass the rep row
+    (with summed count) upward.  Output mixes edge rows and rep rows,
+    tagged by ``is_rep``; fully vectorized (pyarrow group_by + take)."""
+    if b.num_rows == 0:
+        return pa.table({"bucket": b["bucket"], "salt": b["salt"],
+                         "ch": b["ch"], "image_id": b["image_id"],
+                         "cnt": b["cnt"], "partner": b["image_id"],
+                         "is_rep": pa.array([], pa.bool_())})
+    agg = b.group_by(["bucket", "salt"]).aggregate(
+        [("image_id", "min"), ("ch", "min"), ("cnt", "sum")])
+    # vectorized local attach: position of each row's group in agg
+    key_all = hash_u64_pair(b["bucket"].to_numpy(zero_copy_only=False).view(np.uint64),
+                            b["salt"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    key_agg = hash_u64_pair(agg["bucket"].to_numpy(zero_copy_only=False).view(np.uint64),
+                            agg["salt"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    order = np.argsort(key_agg, kind="stable")
+    pos = order[np.searchsorted(key_agg[order], key_all)]
+    reps_for_rows = agg["image_id_min"].take(pa.array(pos, pa.int64()))
+
+    edge_mask = pc.not_equal(b["image_id"], reps_for_rows)
+    f = b.filter(edge_mask)
+    edges = pa.table({
+        "bucket": f["bucket"], "salt": f["salt"], "ch": f["ch"],
+        "image_id": f["image_id"], "cnt": f["cnt"],
+        "partner": reps_for_rows.filter(edge_mask),
+        "is_rep": pa.array(np.zeros(f.num_rows, dtype=bool)),
+    })
+    reps = pa.table({
+        "bucket": agg["bucket"], "salt": agg["salt"], "ch": agg["ch_min"],
+        "image_id": agg["image_id_min"], "cnt": agg["cnt_sum"],
+        "partner": agg["image_id_min"],
+        "is_rep": pa.array(np.ones(agg.num_rows, dtype=bool)),
+    })
+    return pa.concat_tables([edges, reps])
+
+
 def candidate_pairs(sig_ds, cfg: DedupConfig):
     """Signatures -> distinct candidate (left_id, right_id) star edges.
 
-    All shuffles move only (int64, int32, short string) columns; every
-    aggregation is an associative combine tree (stages/agg.py), never
-    per-group Python."""
-    from .agg import grouped_agg
-    from .joins import attach_by_key
-
+    **Hierarchical star construction, zero joins**: each combine-tree
+    round links every member to its block-local sub-bucket representative
+    and passes only the representatives (one row per (bucket, salt) per
+    block) upward; the next round links those reps to each other's
+    winners.  Connectivity is identical to attaching the global min to
+    every member, but no attach join or broadcast ever happens — the
+    whole stage is map passes + coalescing repartitions, which is also
+    the right topology on a multi-node cluster (tree reduction).  A final
+    local pass at the tree root links sub-bucket reps across salts
+    (restoring full-bucket connectivity) and computes bucket totals for
+    the weak-channel noise cap."""
     banded = sig_ds.map_batches(lambda b: banding_rows(b, cfg),
                                 batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
-    banded = banded.materialize()      # consumed by two branches below
-
-    P = cfg.shuffle_partitions
-    cap = cfg.weak_bucket_cap
-    sub_min = grouped_agg(banded, ["bucket", "salt"],
-                          [("image_id", "min", "sub_rep"),
-                           ("image_id", "count", "sub_n"),
-                           ("ch", "min", "ch")]).materialize()
-
-    def weak_ok(b: pa.Table, n_col: str) -> pa.Table:
-        # weak channels (phash band / fingerprint) are single-feature
-        # collisions: buckets above the cap are noise (a common phrase, a
-        # popular 16-bit phash band) and are dropped; full-signature
-        # MinHash bands are never capped (the hot-band path relies on them)
-        keep = pc.or_(pc.equal(b["ch"], pa.scalar(CH_MINHASH, pa.int8())),
-                      pc.less_equal(b[n_col], pa.scalar(cap)))
-        return b.filter(keep)
-
-    # level-1 star edges: sub-bucket representative -> each member
-    # (banded's own ch column is dropped; sub_min carries the same value)
-    e1 = attach_by_key(banded.drop_columns(["ch"]), sub_min,
-                       ["bucket", "salt"], num_partitions=P)
-    e1 = e1.map_batches(lambda b: _canon_edges(weak_ok(b, "sub_n"),
-                                               "sub_rep", "image_id"),
-                        batch_format="pyarrow")
-
-    # level-2 edges: bucket representative -> each sub-bucket representative
-    bucket_min = grouped_agg(sub_min, ["bucket"],
-                             [("sub_rep", "min", "bucket_rep"),
-                              ("sub_n", "sum", "bucket_n"),
-                              ("ch", "min", "bucket_ch")])
-    e2 = attach_by_key(sub_min, bucket_min, ["bucket"], num_partitions=P)
-    e2 = e2.map_batches(
-        lambda b: _canon_edges(
-            b.filter(pc.or_(pc.equal(b["bucket_ch"], pa.scalar(CH_MINHASH, pa.int8())),
-                            pc.less_equal(b["bucket_n"], pa.scalar(cap)))),
-            "bucket_rep", "sub_rep"),
+    banded = banded.map_batches(
+        lambda b: b.append_column("cnt", pa.array(
+            np.ones(b.num_rows, dtype=np.int64))),
         batch_format="pyarrow")
 
-    # distinct edges across bands/channels via the same combine tree
-    distinct = grouped_agg(e1.union(e2), ["pair_key"],
+    cap = cfg.weak_bucket_cap
+    edge_rounds = []
+    cur = banded.map_batches(_reduce_round, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    merged_in_one = cur.num_blocks() <= 1
+    while True:
+        edge_rounds.append(cur.filter(expr="is_rep == False"))
+        reps = cur.filter(expr="is_rep == True")
+        if merged_in_one:
+            # the last round ran as a single batch: reps are now global
+            # per-(bucket, salt) minima (the executor may have re-split
+            # the OUTPUT into several blocks; that doesn't undo the merge)
+            top = reps
+            break
+        target = max(1, cur.num_blocks() // 8)
+        cur = (reps.repartition(target)
+                   .map_batches(_reduce_round, batch_format="pyarrow",
+                                batch_size=None).materialize())
+        merged_in_one = target == 1
+
+    # tree root: link sub-bucket reps within each bucket across salts and
+    # compute total bucket sizes (cnt sums) for the cap
+    def across_salts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "ch": pa.array([], pa.int8()),
+                             "left_id": pa.array([], pa.string()),
+                             "right_id": pa.array([], pa.string()),
+                             "bucket_n": pa.array([], pa.int64())})
+        agg = b.group_by("bucket").aggregate(
+            [("image_id", "min"), ("cnt", "sum")])
+        ka = agg["bucket"].to_numpy(zero_copy_only=False)
+        kb = b["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ka, kind="stable")
+        pos = order[np.searchsorted(ka[order], kb)]
+        rep = agg["image_id_min"].take(pa.array(pos, pa.int64()))
+        total = agg["cnt_sum"].take(pa.array(pos, pa.int64()))
+        mask = pc.not_equal(b["image_id"], rep)
+        f = b.filter(mask)
+        return pa.table({"bucket": f["bucket"], "ch": f["ch"],
+                         "left_id": rep.filter(mask),
+                         "right_id": f["image_id"],
+                         "bucket_n": total.filter(mask)})
+
+    top_mat = top.materialize()
+    e2 = top_mat.repartition(1).map_batches(across_salts,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
+
+    # bucket totals -> the (small) noisy-bucket list for the weak cap
+    def bucket_totals(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["bucket", "ch"]).aggregate([("cnt", "sum")])
+        return pa.table({"bucket": agg["bucket"], "ch": agg["ch"],
+                         "bucket_n": agg["cnt_sum"]})
+
+    totals = top_mat.map_batches(bucket_totals, batch_format="pyarrow",
+                                 batch_size=None)
+    from .agg import grouped_agg
+    totals = grouped_agg(totals, ["bucket", "ch"],
+                         [("bucket_n", "sum", "bucket_n")])
+    noisy_tbl = totals.filter(expr=f"bucket_n > {cap}").materialize()
+    import ray
+    noisy_minhash_free = noisy_tbl.filter(
+        expr=f"ch != {CH_MINHASH}").select_columns(["bucket"])
+    noisy = set(r["bucket"] for r in noisy_minhash_free.take_all())
+    noisy_ref = ray.put(np.array(sorted(noisy), dtype=np.int64))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        """Drop weak-channel edges from noisy buckets, canonicalize."""
+        if b.num_rows == 0:
+            return pa.table({"left_id": pa.array([], pa.string()),
+                             "right_id": pa.array([], pa.string()),
+                             "pair_key": pa.array([], pa.int64())})
+        noisy_arr = cached_get(noisy_ref)
+        bu = b["bucket"].to_numpy(zero_copy_only=False)
+        ch = b["ch"].to_numpy(zero_copy_only=False)
+        is_noisy = np.zeros(len(bu), dtype=bool)
+        if noisy_arr.size:
+            pos = np.searchsorted(noisy_arr, bu)
+            pos = np.clip(pos, 0, noisy_arr.size - 1)
+            is_noisy = (noisy_arr[pos] == bu) & (ch != CH_MINHASH)
+        return _canon_edges(b.filter(pa.array(~is_noisy)),
+                            "left_id", "right_id")
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"bucket": b["bucket"], "ch": b["ch"],
+                         "left_id": b["partner"],
+                         "right_id": b["image_id"]})
+
+    all_edges = None
+    for er in edge_rounds:
+        t = er.map_batches(tag_edges, batch_format="pyarrow")
+        all_edges = t if all_edges is None else all_edges.union(t)
+    all_edges = all_edges.union(e2.drop_columns(["bucket_n"]))
+
+    canonical = all_edges.map_batches(finalize, batch_format="pyarrow")
+
+    distinct = grouped_agg(canonical, ["pair_key"],
                            [("left_id", "min", "left_id"),
                             ("right_id", "min", "right_id")])
     return distinct.drop_columns(["pair_key"])

@@ -100,26 +100,49 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
         else:
             pix_ok = np.zeros(n, dtype=bool)
 
-        # substring check only where cheap channels failed
+        # substring check only where cheap channels failed.  Containment
+        # |fp_l ∩ fp_r| / min(|fp_l|, |fp_r|) is computed for the whole
+        # batch with one vectorized merge (explode fps -> inner join on
+        # (pair, fp) -> bincount); the exact O(|a|*|b|) LCS runs only on
+        # the pairs whose containment clears half the threshold.
         sub_ratio = np.zeros(n, dtype=np.float32)
         need = ~(cap_ok | pix_ok)
         if need.any():
-            fl = batch["fingerprints_l"].to_pylist()
-            fr = batch["fingerprints_r"].to_pylist()
-            cl = batch["caption_key_l"].to_pylist()
-            cr = batch["caption_key_r"].to_pylist()
+            import pandas as pd
+            idx = np.flatnonzero(need)
+            fl = batch["fingerprints_l"].combine_chunks()
+            fr = batch["fingerprints_r"].combine_chunks()
+            l_flat = fl.flatten().to_numpy(zero_copy_only=False)
+            r_flat = fr.flatten().to_numpy(zero_copy_only=False)
+            l_off = fl.offsets.to_numpy(zero_copy_only=False)
+            r_off = fr.offsets.to_numpy(zero_copy_only=False)
+            l_cnt = np.diff(l_off)
+            r_cnt = np.diff(r_off)
+            take = np.zeros(n, dtype=bool)
+            take[idx] = True
+            l_sel = np.repeat(take, l_cnt)
+            r_sel = np.repeat(take, r_cnt)
+            ldf = pd.DataFrame({
+                "p": np.repeat(np.arange(n), l_cnt)[l_sel],
+                "f": l_flat[l_sel]}).drop_duplicates()
+            rdf = pd.DataFrame({
+                "p": np.repeat(np.arange(n), r_cnt)[r_sel],
+                "f": r_flat[r_sel]}).drop_duplicates()
+            common = ldf.merge(rdf, on=["p", "f"])
+            inter = np.bincount(common["p"].to_numpy(), minlength=n)
+            denom_fp = np.minimum(np.maximum(l_cnt, 1), np.maximum(r_cnt, 1))
+            containment = inter / denom_fp
             half = cfg.substring_min_ratio / 2
-            for i in np.flatnonzero(need):
-                sa, sb = set(fl[i]), set(fr[i])
-                if not sa or not sb:
-                    continue
-                containment = len(sa & sb) / min(len(sa), len(sb))
-                if containment < half:
-                    continue                      # cheap reject
-                a, b = cl[i], cr[i]
-                denom = min(len(a), len(b))
-                if denom >= cfg.fingerprint_k:
-                    sub_ratio[i] = _lcs_len(a, b) / denom
+            lcs_idx = idx[(containment[idx] >= half)
+                          & (l_cnt[idx] > 0) & (r_cnt[idx] > 0)]
+            if lcs_idx.size:
+                cl = batch["caption_key_l"].to_pylist()
+                cr = batch["caption_key_r"].to_pylist()
+                for i in lcs_idx:
+                    a, b = cl[i], cr[i]
+                    denom = min(len(a), len(b))
+                    if denom >= cfg.fingerprint_k:
+                        sub_ratio[i] = _lcs_len(a, b) / denom
         sub_ok = sub_ratio >= cfg.substring_min_ratio
 
         verified = cap_ok | pix_ok | sub_ok
