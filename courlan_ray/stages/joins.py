@@ -141,23 +141,27 @@ def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str
     n_payload = payload_ds.count()
     cols = [id_col] + payload_cols
     if n_payload <= broadcast_max:
+        from ..functions.hashing import hash_strings
+
         tbl = _collect(payload_ds.select_columns(cols))
-        order = pc.sort_indices(tbl[id_col])
-        tbl = tbl.take(order)                       # sorted by id once
-        ids_np = np.asarray(tbl[id_col].to_pylist(), dtype=object)
-        ref = ray.put((ids_np, tbl))
+        # probe on 64-bit id hashes: numeric searchsorted instead of
+        # per-element Python string comparison over object arrays
+        id_hash = hash_strings(tbl[id_col].to_pylist(), seed=0xA11CE)
+        order = np.argsort(id_hash, kind="stable")
+        tbl = tbl.take(pa.array(order, pa.int64()))
+        ref = ray.put((id_hash[order], tbl))
 
         def attach(batch: pa.Table) -> pa.Table:
-            ids_sorted, payload = cached_get(ref)
+            hashes_sorted, payload = cached_get(ref)
             out = batch
             for side in ("left", "right"):
-                probe = np.asarray(out[f"{side}_id"].to_pylist(), dtype=object)
-                pos = np.searchsorted(ids_sorted, probe)
-                pos = np.clip(pos, 0, len(ids_sorted) - 1)
-                hit = ids_sorted[pos] == probe
+                probe = hash_strings(out[f"{side}_id"].to_pylist(),
+                                     seed=0xA11CE)
+                pos = np.searchsorted(hashes_sorted, probe)
+                pos = np.clip(pos, 0, len(hashes_sorted) - 1)
+                hit = hashes_sorted[pos] == probe
                 if not hit.all():                   # drop unmatched pairs
                     out = out.filter(pa.array(hit))
-                    probe = probe[hit]
                     pos = pos[hit]
                 suffix = "_l" if side == "left" else "_r"
                 gathered = payload.take(pa.array(pos, pa.int64()))
