@@ -142,7 +142,7 @@ def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
     """Embedding-cosine near-dup candidate pairs: hyperplane buckets ->
     star edges (min id per bucket) -> exact cosine verification.
     Returns Dataset (left_id, right_id, cos_sim) with cos_sim >= threshold."""
-    from ray.data.aggregate import Min
+    from .agg import grouped_agg
     from .joins import attach_by_key, _collect
 
     seed = cfg.seed + 31
@@ -157,9 +157,9 @@ def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
         return pa.table({"bucket": pa.array(b, pa.int64()), "vid": ids})
 
     banded = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
-    reps = banded.groupby("bucket").aggregate(Min("vid", alias_name="rep"))
-    edges = attach_by_key(banded, reps, ["bucket"]).filter(
-        lambda r: r["vid"] != r["rep"])
+    reps = grouped_agg(banded, ["bucket"], [("vid", "min", "rep")])
+    edges = attach_by_key(banded, reps, ["bucket"]).map_batches(
+        lambda b: b[b["vid"] != b["rep"]], batch_format="pandas")
 
     # verify with exact cosine: broadcast the (small) vector table
     vec_tbl = _collect(ds.map_batches(
