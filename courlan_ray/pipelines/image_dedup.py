@@ -65,7 +65,15 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
 
     from ..stages.joins import filter_by_keys
 
-    keyed_edges = stage("exact_edges", lambda: _exact_edges(valid, cfg))
+    # ONE narrow projection of the wide canonicalized stream is pinned;
+    # every consumer except the signature pass (which needs the binary
+    # payload and is fused into the actor pool) reads it instead of
+    # re-executing the full read+canonicalize over the wide table
+    valid_narrow = valid.select_columns(
+        ["image_id", "caption_key", "phash"]).materialize()
+
+    keyed_edges = stage("exact_edges",
+                        lambda: _exact_edges(valid_narrow, cfg))
     survivors = filter_by_keys(add_exact_key(valid, cfg), keyed_edges,
                                "image_id", keep=False, keys_col="right_id",
                                num_partitions=cfg.shuffle_partitions)
@@ -81,7 +89,7 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
         keyed_edges.select_columns(["left_id", "right_id"]))
 
     comp = connected_components(edges, cfg)
-    all_ids = valid.select_columns(["image_id"])
+    all_ids = valid_narrow.select_columns(["image_id"])
     assigned = assign_clusters(all_ids, comp, cfg)
     clusters = cluster_representatives(assigned, cfg)
 

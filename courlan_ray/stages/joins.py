@@ -148,7 +148,9 @@ def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str
         # per-element Python string comparison over object arrays
         id_hash = hash_strings(tbl[id_col].to_pylist(), seed=0xA11CE)
         order = np.argsort(id_hash, kind="stable")
-        tbl = tbl.take(pa.array(order, pa.int64()))
+        # combine chunks BEFORE broadcasting: take() over a chunked table
+        # does a per-element chunk lookup and dominates gather time
+        tbl = tbl.take(pa.array(order, pa.int64())).combine_chunks()
         ref = ray.put((id_hash[order], tbl))
 
         def attach(batch: pa.Table) -> pa.Table:
@@ -169,7 +171,8 @@ def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str
                     out = out.append_column(c + suffix, gathered[c])
             return out
 
-        return pairs_ds.map_batches(attach, batch_format="pyarrow")
+        return pairs_ds.map_batches(attach, batch_format="pyarrow",
+                                    batch_size=8192)
 
     left = payload_ds.select_columns(cols).rename_columns(
         {c: f"{c}_l" for c in cols})

@@ -67,6 +67,14 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
     O(|a|*|b|) DP runs on a small borderline band, not every candidate."""
     payload_cols = ["minhash", "simhash_cap", "simhash_pix", "phash",
                     "caption_key", "fingerprints"]
+    # the candidate tree ends in one or two blocks; re-split so the
+    # gather+verify stages fan out across the cluster
+    try:
+        import ray
+        fanout = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        fanout = 16
+    pairs_ds = pairs_ds.repartition(fanout)
     joined = hash_join_pairs(pairs_ds, sig_ds, id_col="image_id",
                              payload_cols=payload_cols,
                              num_partitions=cfg.shuffle_partitions)
@@ -130,10 +138,18 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
                 "f": r_flat[r_sel]}).drop_duplicates()
             common = ldf.merge(rdf, on=["p", "f"])
             inter = np.bincount(common["p"].to_numpy(), minlength=n)
-            denom_fp = np.minimum(np.maximum(l_cnt, 1), np.maximum(r_cnt, 1))
-            containment = inter / denom_fp
-            half = cfg.substring_min_ratio / 2
-            lcs_idx = idx[(containment[idx] >= half)
+            # a common substring of ratio*minlen chars is guaranteed to
+            # contribute ~ (ratio*minlen - (k+w-1)) / w shared winnowing
+            # prints; require half that (plus an absolute floor of 2) so
+            # the exact LCS DP runs only on genuinely plausible pairs
+            len_l = np.array([len(x) for x in batch["caption_key_l"].to_pylist()])
+            len_r = np.array([len(x) for x in batch["caption_key_r"].to_pylist()])
+            minlen = np.minimum(len_l, len_r)
+            t_guar = cfg.fingerprint_k + cfg.fingerprint_window - 1
+            needed = (cfg.substring_min_ratio * minlen - t_guar) \
+                / cfg.fingerprint_window
+            floor = np.maximum(2, 0.5 * needed)
+            lcs_idx = idx[(inter[idx] >= floor[idx])
                           & (l_cnt[idx] > 0) & (r_cnt[idx] > 0)]
             if lcs_idx.size:
                 cl = batch["caption_key_l"].to_pylist()
