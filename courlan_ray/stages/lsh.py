@@ -118,10 +118,6 @@ def _canon_edges(batch: pa.Table, left: str, right: str) -> pa.Table:
                      "pair_key": pa.array(pk.view(np.int64), pa.int64())})
 
 
-_EDGE_SCHEMA = pa.schema([("bucket", pa.int64()), ("ch", pa.int8()),
-                          ("left_id", pa.string()), ("right_id", pa.string())])
-
-
 def _reduce_round(b: pa.Table) -> pa.Table:
     """One combine-tree round over (bucket, salt, ch, image_id, cnt) rows:
     per (bucket, salt) group take the min id as representative, emit a

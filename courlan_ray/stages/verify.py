@@ -24,7 +24,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import DedupConfig
-from .joins import hash_join_pairs
 
 _U64 = np.uint64
 _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -56,17 +55,65 @@ def _lcs_len(a: str, b: str) -> int:
     return best
 
 
+def _pack_signatures(sig_ds, cfg: DedupConfig):
+    """Collect the signature table into PURE-NUMPY broadcast blocks:
+    plain-dtype numpy arrays come out of the Ray object store zero-copy,
+    so 32 workers reading a 400 MB payload costs nothing per worker —
+    unlike a pickled pandas/Arrow broadcast, which every worker would
+    re-deserialize (the measured cause of negative CPU scaling)."""
+    import ray
+    from ..functions.hashing import hash_strings
+    from .joins import _collect
+
+    tbl = _collect(sig_ds.select_columns(
+        ["image_id", "minhash", "simhash_pix", "phash",
+         "caption_key", "fingerprints"]))
+    n = tbl.num_rows
+    id_hash = hash_strings(tbl["image_id"].to_pylist(), seed=0xA11CE)
+    order = np.argsort(id_hash, kind="stable")
+    tbl = tbl.take(pa.array(order, pa.int64())).combine_chunks()
+
+    mh = np.ascontiguousarray(
+        np.asarray(tbl["minhash"].chunk(0).flatten()
+                   .to_numpy(zero_copy_only=False)).reshape(n, cfg.num_perm))
+    caps = tbl["caption_key"].chunk(0)
+    cap_buf = np.frombuffer(
+        "\x00".join(caps.to_pylist()).encode("utf-8", "surrogatepass")
+        + b"\x00", dtype=np.uint8) if n else np.zeros(0, np.uint8)
+    cap_lens = np.array([len(c.encode("utf-8", "surrogatepass"))
+                         for c in caps.to_pylist()], dtype=np.int64) \
+        if n else np.zeros(0, np.int64)
+    cap_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cap_lens + 1, out=cap_off[1:])
+    fps = tbl["fingerprints"].chunk(0)
+    fp_flat = np.ascontiguousarray(
+        np.asarray(fps.flatten().to_numpy(zero_copy_only=False)))
+    fp_off = np.ascontiguousarray(
+        fps.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    pack = {
+        "id_hash": np.ascontiguousarray(id_hash[order]),
+        "minhash": mh,
+        "phash": np.ascontiguousarray(
+            tbl["phash"].to_numpy(zero_copy_only=False)),
+        "simhash_pix": np.ascontiguousarray(
+            tbl["simhash_pix"].to_numpy(zero_copy_only=False)),
+        "cap_buf": cap_buf, "cap_off": cap_off, "cap_lens": cap_lens,
+        "fp_flat": fp_flat, "fp_off": fp_off,
+    }
+    return {k: ray.put(v) for k, v in pack.items()}
+
+
 def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
     """(left_id, right_id) candidates -> verified pairs with verdict columns
     (jaccard, ham_phash, ham_simpix, substr_ratio, verified:bool).
 
     The substring channel verifies in two tiers: a cheap winnowing-
-    fingerprint containment bound first (|fp_a ∩ fp_b| relative to the
-    smaller doc's fingerprint count), and the exact LCS dynamic program
-    only for pairs whose containment clears half the threshold — so the
-    O(|a|*|b|) DP runs on a small borderline band, not every candidate."""
-    payload_cols = ["minhash", "simhash_cap", "simhash_pix", "phash",
-                    "caption_key", "fingerprints"]
+    fingerprint containment bound first (vectorized explode+merge), and
+    the exact LCS dynamic program only for pairs clearing a
+    length-scaled shared-print bound."""
+    from .joins import cached_get
+    from ..functions.hashing import hash_strings
+
     # the candidate tree ends in one or two blocks; re-split so the
     # gather+verify stages fan out across the cluster
     try:
@@ -75,32 +122,40 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
     except Exception:
         fanout = 16
     pairs_ds = pairs_ds.repartition(fanout)
-    joined = hash_join_pairs(pairs_ds, sig_ds, id_col="image_id",
-                             payload_cols=payload_cols,
-                             num_partitions=cfg.shuffle_partitions)
+    refs = _pack_signatures(sig_ds, cfg)
 
     num_perm = cfg.num_perm
 
     def kernel(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        empty = pa.table({"left_id": pa.array([], pa.string()),
+                          "right_id": pa.array([], pa.string()),
+                          "jaccard": pa.array([], pa.float32()),
+                          "ham_phash": pa.array([], pa.int32()),
+                          "ham_simpix": pa.array([], pa.int32()),
+                          "substr_ratio": pa.array([], pa.float32()),
+                          "verified": pa.array([], pa.bool_())})
         if n == 0:
-            return pa.table({"left_id": pa.array([], pa.string()),
-                             "right_id": pa.array([], pa.string()),
-                             "jaccard": pa.array([], pa.float32()),
-                             "ham_phash": pa.array([], pa.int32()),
-                             "ham_simpix": pa.array([], pa.int32()),
-                             "substr_ratio": pa.array([], pa.float32()),
-                             "verified": pa.array([], pa.bool_())})
-        mh_l = np.asarray(batch["minhash_l"].combine_chunks().flatten()
-                          .to_numpy(zero_copy_only=False)).reshape(n, num_perm)
-        mh_r = np.asarray(batch["minhash_r"].combine_chunks().flatten()
-                          .to_numpy(zero_copy_only=False)).reshape(n, num_perm)
-        jac = (mh_l == mh_r).mean(axis=1)
+            return empty
+        id_hash = cached_get(refs["id_hash"])
+        probe_l = hash_strings(batch["left_id"].to_pylist(), seed=0xA11CE)
+        probe_r = hash_strings(batch["right_id"].to_pylist(), seed=0xA11CE)
+        pos_l = np.clip(np.searchsorted(id_hash, probe_l), 0, len(id_hash) - 1)
+        pos_r = np.clip(np.searchsorted(id_hash, probe_r), 0, len(id_hash) - 1)
+        hit = (id_hash[pos_l] == probe_l) & (id_hash[pos_r] == probe_r)
+        if not hit.all():
+            batch = batch.filter(pa.array(hit))
+            pos_l, pos_r = pos_l[hit], pos_r[hit]
+            n = batch.num_rows
+            if n == 0:
+                return empty
 
-        ph = _ham(batch["phash_l"].to_numpy(zero_copy_only=False),
-                  batch["phash_r"].to_numpy(zero_copy_only=False))
-        sp = _ham(batch["simhash_pix_l"].to_numpy(zero_copy_only=False),
-                  batch["simhash_pix_r"].to_numpy(zero_copy_only=False))
+        mh = cached_get(refs["minhash"])
+        jac = (mh[pos_l] == mh[pos_r]).mean(axis=1)
+        phash = cached_get(refs["phash"])
+        simpix = cached_get(refs["simhash_pix"])
+        ph = _ham(phash[pos_l], phash[pos_r])
+        sp = _ham(simpix[pos_l], simpix[pos_r])
 
         cap_ok = jac >= cfg.jaccard_threshold
         if "phash" in cfg.channels:
@@ -109,53 +164,48 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
             pix_ok = np.zeros(n, dtype=bool)
 
         # substring check only where cheap channels failed.  Containment
-        # |fp_l ∩ fp_r| / min(|fp_l|, |fp_r|) is computed for the whole
-        # batch with one vectorized merge (explode fps -> inner join on
-        # (pair, fp) -> bincount); the exact O(|a|*|b|) LCS runs only on
-        # the pairs whose containment clears half the threshold.
+        # |fp_l ∩ fp_r| via one vectorized explode+merge; the exact
+        # O(|a|*|b|) LCS runs only on pairs clearing a length-scaled
+        # shared-print bound (a true LCS of ratio*minlen chars yields
+        # ~ (ratio*minlen - (k+w-1)) / w shared winnowing prints).
         sub_ratio = np.zeros(n, dtype=np.float32)
         need = ~(cap_ok | pix_ok)
         if need.any():
             import pandas as pd
+            fp_flat = cached_get(refs["fp_flat"])
+            fp_off = cached_get(refs["fp_off"])
+            cap_lens = cached_get(refs["cap_lens"])
             idx = np.flatnonzero(need)
-            fl = batch["fingerprints_l"].combine_chunks()
-            fr = batch["fingerprints_r"].combine_chunks()
-            l_flat = fl.flatten().to_numpy(zero_copy_only=False)
-            r_flat = fr.flatten().to_numpy(zero_copy_only=False)
-            l_off = fl.offsets.to_numpy(zero_copy_only=False)
-            r_off = fr.offsets.to_numpy(zero_copy_only=False)
-            l_cnt = np.diff(l_off)
-            r_cnt = np.diff(r_off)
-            take = np.zeros(n, dtype=bool)
-            take[idx] = True
-            l_sel = np.repeat(take, l_cnt)
-            r_sel = np.repeat(take, r_cnt)
-            ldf = pd.DataFrame({
-                "p": np.repeat(np.arange(n), l_cnt)[l_sel],
-                "f": l_flat[l_sel]}).drop_duplicates()
-            rdf = pd.DataFrame({
-                "p": np.repeat(np.arange(n), r_cnt)[r_sel],
-                "f": r_flat[r_sel]}).drop_duplicates()
-            common = ldf.merge(rdf, on=["p", "f"])
+
+            def explode(pos):
+                cnt = (fp_off[pos + 1] - fp_off[pos])[idx]
+                starts = fp_off[pos][idx]
+                flat_idx = np.repeat(starts, cnt) + _ranges(cnt)
+                return pd.DataFrame({"p": np.repeat(idx, cnt),
+                                     "f": fp_flat[flat_idx]})
+
+            common = explode(pos_l).merge(explode(pos_r), on=["p", "f"])
             inter = np.bincount(common["p"].to_numpy(), minlength=n)
-            # a common substring of ratio*minlen chars is guaranteed to
-            # contribute ~ (ratio*minlen - (k+w-1)) / w shared winnowing
-            # prints; require half that (plus an absolute floor of 2) so
-            # the exact LCS DP runs only on genuinely plausible pairs
-            len_l = np.array([len(x) for x in batch["caption_key_l"].to_pylist()])
-            len_r = np.array([len(x) for x in batch["caption_key_r"].to_pylist()])
-            minlen = np.minimum(len_l, len_r)
+            minlen = np.minimum(cap_lens[pos_l], cap_lens[pos_r])
             t_guar = cfg.fingerprint_k + cfg.fingerprint_window - 1
             needed = (cfg.substring_min_ratio * minlen - t_guar) \
                 / cfg.fingerprint_window
             floor = np.maximum(2, 0.5 * needed)
+            l_cnt = fp_off[pos_l + 1] - fp_off[pos_l]
+            r_cnt = fp_off[pos_r + 1] - fp_off[pos_r]
             lcs_idx = idx[(inter[idx] >= floor[idx])
                           & (l_cnt[idx] > 0) & (r_cnt[idx] > 0)]
             if lcs_idx.size:
-                cl = batch["caption_key_l"].to_pylist()
-                cr = batch["caption_key_r"].to_pylist()
+                cap_buf = cached_get(refs["cap_buf"])
+                cap_off = cached_get(refs["cap_off"])
+
+                def cap_of(pos):
+                    return bytes(cap_buf[cap_off[pos]:cap_off[pos]
+                                         + cap_lens[pos]]).decode(
+                        "utf-8", "surrogatepass")
+
                 for i in lcs_idx:
-                    a, b = cl[i], cr[i]
+                    a, b = cap_of(pos_l[i]), cap_of(pos_r[i])
                     denom = min(len(a), len(b))
                     if denom >= cfg.fingerprint_k:
                         sub_ratio[i] = _lcs_len(a, b) / denom
@@ -172,9 +222,17 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
             "verified": pa.array(verified),
         })
 
-    scored = joined.map_batches(kernel, batch_format="pyarrow",
-                                batch_size=cfg.batch_size)
+    scored = pairs_ds.map_batches(kernel, batch_format="pyarrow",
+                                  batch_size=8192)
     return scored
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out -= np.repeat(ends - counts, counts)
+    return out
 
 
 def fidelity_check(pairs_sample: pd.DataFrame, row_lookup) -> pd.DataFrame:
