@@ -6,6 +6,37 @@ Public API parity with the reference's exports
 (/root/reference/courlan/__init__.py:35-57) plus the dedup engine.
 """
 
+def _enable_hash_shuffle() -> None:
+    """Switch Ray Data to the hash-shuffle strategy.
+
+    The engine's wide operations (keyed ``repartition(keys=...)`` in the LSH
+    cross-block link, the shuffle path of ``stages.agg.grouped_agg``, and
+    ``Dataset.join``) need hash-based key exchange; Ray 2.49 gates keyed
+    repartitioning behind ``DataContext.shuffle_strategy = HASH_SHUFFLE``.
+    Safe to set eagerly: contexts are per-process and the strategy only
+    changes the physical plan of all-to-all operators."""
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # defaults are sized for large clusters (parallelism 200, 64
+        # aggregator actors at 1 CPU each) and DEADLOCK a small local
+        # session: aggregators can't schedule and the executor waits
+        # min_hash_shuffle_aggregator_wait_time (300 s).  Cap the implicit
+        # parallelism and make aggregators nearly CPU-free — they are
+        # merge/IO-bound; explicit repartition/join calls still pass their
+        # own partition counts.
+        ctx.default_hash_shuffle_parallelism = 16
+        ctx.max_hash_shuffle_aggregators = 16
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    except Exception:           # pragma: no cover - older/newer ray
+        pass
+
+
+_enable_hash_shuffle()
+
 from .config import DedupConfig, DEFAULT_CONFIG
 from .functions.urls import (
     basic_filter, check_url, clean_url, decode_punycode, extension_filter,

@@ -61,6 +61,14 @@ class DedupConfig:
     driver_cc_max_pairs: int = 2_000_000   # below: driver union-find; above: distributed
     cc_max_rounds: int = 20
 
+    # --- size-adaptive small/large switches (execution sizing) ---
+    lsh_driver_link_max: int = 8_000_000   # LSH level-2 rep rows: below ->
+                                           # driver-local vectorized link;
+                                           # above -> keyed hash-shuffle
+    verify_broadcast_max: int = 2_000_000  # signature rows: below -> numpy
+                                           # broadcast pack; above ->
+                                           # partitioned pair<->signature join
+
     # --- sampling (courlan sample_urls generalization) ---
     sample_k: int = 1                      # representatives per cluster
     exclude_min: int = 0
@@ -85,7 +93,8 @@ class DedupConfig:
         d = asdict(self)
         # execution sizing does not change results
         for k in ("batch_size", "signature_concurrency", "shuffle_partitions",
-                  "driver_cc_max_pairs"):
+                  "driver_cc_max_pairs", "lsh_driver_link_max",
+                  "verify_broadcast_max"):
             d.pop(k, None)
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

@@ -4,17 +4,28 @@ The end-to-end generalization of the reference's contract
 (normalize→filter→dedup→sample, /root/reference/courlan/cli.py:112-132 +
 urlstore.py:171-275 + sampling.py:15-68) over image+caption tables:
 
-  read -> canonicalize (stateless map_batches, gates as columns)
-       -> exact dedup  (variant-invariant key, narrow shuffle)
-       -> signatures   (actor pool: decode+phash+MinHash+SimHash+winnow)
-       -> LSH banding  (salted bucket shuffle, 3 candidate channels)
+  read -> [canonicalize ∘ signatures]  (ONE actor-pool traversal of the
+          wide byte payload: gates as columns + decode + phash + MinHash +
+          SimHash + winnowing, fused — the "sigtable")
+       -> exact dedup  (variant-invariant key over the narrow sigtable)
+       -> LSH banding  (block-local salted star reduction + size-adaptive
+                        cross-block link, 3 candidate channels)
        -> verify       (banded Jaccard + Hamming + LCS)
        -> components   (union-find / min-label propagation)
        -> assign + representatives (one-per-cluster draw)
 
-Binary image payloads are consumed inside the signature actor and never
-cross a shuffle; every wide operation moves only narrow id/signature
-columns (SURVEY.md §7.3/§7.4).
+Design for scale (SURVEY.md §7.3/§7.4 + VERDICT round 1):
+
+- the wide binary payload is read from storage EXACTLY ONCE; it is
+  consumed inside the signature actors and never crosses a shuffle or a
+  second scan.  Every downstream stage reads the materialized narrow
+  sigtable (ids, hashes, signature lists — ~100 bytes/row + minhash).
+- exact-dup rows still get signatures (their decode is the price of the
+  single traversal — cheaper than a second full scan to pre-filter them),
+  but they are dropped before LSH so they add no candidate volume.
+- no stage collects the corpus on the driver unconditionally: the LSH
+  cross-block link and pair verification switch to keyed hash-shuffle /
+  partitioned joins above configured thresholds.
 """
 
 from __future__ import annotations
@@ -22,17 +33,13 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import DedupConfig, DEFAULT_CONFIG
-from ..stages.canonicalize import canonicalize, reject_counters
+from ..stages.canonicalize import reject_counters
 from ..stages.exact_dedup import add_exact_key, exact_dup_edges
 from ..stages.signatures import compute_signatures
 from ..stages.lsh import candidate_pairs
 from ..stages.verify import verify_pairs
 from ..stages.components import connected_components, assign_clusters
 from ..stages.sampling import cluster_representatives
-
-
-def _exact_edges(valid_ds, cfg: DedupConfig):
-    return exact_dup_edges(add_exact_key(valid_ds, cfg), cfg)
 
 
 def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
@@ -45,12 +52,11 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
       verified_pairs: scored pair table (lineage)
       counters: reject_reason counts
 
-    Narrow intermediates (signatures, edges, pairs — id/hash columns only)
-    are pinned with ``materialize()`` so downstream consumers and count()
-    probes don't re-execute the wide upstream read+decode; with a
-    ``checkpoint`` (state.manifest.Checkpoint) they are written to
-    partitioned parquet instead, which is the durable equivalent at
-    100 TB scale, and completed stages are skipped on resume.
+    The narrow sigtable and the (much smaller) edge/pair tables are pinned
+    with ``materialize()``; with a ``checkpoint``
+    (state.manifest.Checkpoint) they are written to partitioned parquet
+    instead — the durable equivalent at 100 TB scale — and completed
+    stages are skipped on resume.
     """
     ck = checkpoint
 
@@ -59,37 +65,30 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
             return make().materialize()
         return ck.run(name, make)
 
-    canon = canonicalize(ds, cfg)
-    valid = canon.filter(expr="valid == True")
-    rejected = canon.filter(expr="valid == False")
+    # ONE traversal of the wide payload: gates + all signatures fused into
+    # the actor pool; output is the narrow per-row signature table
+    sigtable = stage("sigtable",
+                     lambda: compute_signatures(ds, cfg, with_gates=True))
+    valid = sigtable.filter(expr="valid == True")
+    rejected = sigtable.filter(expr="valid == False")
 
     from ..stages.joins import filter_by_keys
 
-    # ONE narrow projection of the wide canonicalized stream is pinned;
-    # every consumer except the signature pass (which needs the binary
-    # payload and is fused into the actor pool) reads it instead of
-    # re-executing the full read+canonicalize over the wide table
-    valid_narrow = valid.select_columns(
-        ["image_id", "caption_key", "phash"]).materialize()
-
     keyed_edges = stage("exact_edges",
-                        lambda: _exact_edges(valid_narrow, cfg))
-    survivors = filter_by_keys(add_exact_key(valid, cfg), keyed_edges,
+                        lambda: exact_dup_edges(add_exact_key(valid, cfg), cfg))
+    survivors = filter_by_keys(valid, keyed_edges,
                                "image_id", keep=False, keys_col="right_id",
                                num_partitions=cfg.shuffle_partitions)
 
-    sigs = stage("signatures", lambda: compute_signatures(
-        survivors.select_columns(["image_id", "caption_key", "bytes", "phash"]), cfg))
-
-    cands = stage("candidates", lambda: candidate_pairs(sigs, cfg))
-    scored = stage("verified_pairs", lambda: verify_pairs(cands, sigs, cfg))
+    cands = stage("candidates", lambda: candidate_pairs(survivors, cfg))
+    scored = stage("verified_pairs", lambda: verify_pairs(cands, valid, cfg))
     verified = scored.filter(expr="verified == True")
 
     edges = verified.select_columns(["left_id", "right_id"]).union(
         keyed_edges.select_columns(["left_id", "right_id"]))
 
     comp = connected_components(edges, cfg)
-    all_ids = valid_narrow.select_columns(["image_id"])
+    all_ids = valid.select_columns(["image_id"])
     assigned = assign_clusters(all_ids, comp, cfg)
     clusters = cluster_representatives(assigned, cfg)
 
@@ -97,7 +96,7 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
         "clusters": clusters,
         "rejected": rejected,
         "verified_pairs": scored,
-        "counters": reject_counters(canon),
+        "counters": reject_counters(sigtable),
     }
 
 

@@ -81,10 +81,10 @@ def text_dedup_pipeline(ds, cfg: DedupConfig | None = None, *,
     if "phash" in cfg.channels:
         cfg = dataclasses.replace(cfg, channels=("minhash", "fingerprint"))
     sigs = text_signatures(ds, cfg, id_col=id_col, text_col=text_col).materialize()
-    cands = candidate_pairs(sigs, cfg).materialize()
+    cands = candidate_pairs(sigs, cfg)
     scored = verify_pairs(cands, sigs, cfg).materialize()
     verified = scored.filter(expr="verified == True")
-    edges = verified.select_columns(["left_id", "right_id"]).materialize()
+    edges = verified.select_columns(["left_id", "right_id"])
     comp = connected_components(edges, cfg)
     all_ids = sigs.select_columns(["image_id"])
     assigned = assign_clusters(all_ids, comp, cfg)

@@ -31,34 +31,38 @@ _MERGE_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
 
 def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
                 fanout: int = 8, tree_max_groups: int = TREE_MAX_GROUPS,
-                mode: str = "auto"):
+                mode: str = "auto", approx_count: int | None = None):
     """Grouped aggregation of ``ds`` by ``keys``.
 
     specs: (input_col, fn, output_col) with fn in {min,max,sum,count}.
     Returns a Dataset with columns keys + output_cols (one row per key).
-    ``mode``: "tree" | "shuffle" | "auto" (tree when the input row count —
-    an upper bound on group count — is below ``tree_max_groups``).
+
+    ``mode``: "tree" | "shuffle" | "auto".  Under "auto" the key
+    cardinality must be DECLARED, not guessed: pass ``approx_count`` (any
+    upper bound on the number of distinct key tuples — e.g. the input row
+    count) and the tree is used iff it fits ``tree_max_groups``.  Without
+    it, a materialized input's row count is used; a lazy input without a
+    declared bound defaults to the tree (counting it would re-execute its
+    whole upstream chain) — callers at 10^9+ group scale MUST pass
+    ``approx_count`` or ``mode="shuffle"`` (the lazy-auto trap,
+    VERDICT round 1 #5).
+
+    The shuffle path is map-side partial aggregation + a keyed hash-shuffle
+    ``repartition(P, keys=keys)`` + per-partition final combine — every
+    distinct key lands wholly in one partition, so no single task ever
+    holds more than ~1/P of the key space (the 10^9-distinct-keys-safe
+    topology; requires the HASH_SHUFFLE strategy set in
+    ``courlan_ray/__init__``).
     """
     if mode == "auto":
-        # only a MaterializedDataset has a free count(); counting a lazy
-        # dataset would re-execute its whole upstream chain.  Lazy inputs
-        # default to the tree — callers at 10^9+ group scale pass
-        # mode="shuffle" (or a materialized input) explicitly.
-        from ray.data.dataset import MaterializedDataset
-        if isinstance(ds, MaterializedDataset):
-            mode = "tree" if ds.count() <= tree_max_groups else "shuffle"
+        if approx_count is not None:
+            mode = "tree" if approx_count <= tree_max_groups else "shuffle"
         else:
-            mode = "tree"
-    if mode == "shuffle":
-        from ray.data.aggregate import Min, Max, Sum, Count
-        mk = {"min": Min, "max": Max, "sum": Sum}
-        aggs = []
-        for col, fn, out in specs:
-            if fn == "count":
-                aggs.append(Count(alias_name=out))
+            from ray.data.dataset import MaterializedDataset
+            if isinstance(ds, MaterializedDataset):
+                mode = "tree" if ds.count() <= tree_max_groups else "shuffle"
             else:
-                aggs.append(mk[fn](col, alias_name=out))
-        return ds.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+                mode = "tree"
 
     # a count over a key column is re-pointed at a synthetic ones column
     # (pyarrow can't aggregate a grouping key)
@@ -88,6 +92,15 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
         for name, out in zip(merge_names, out_cols):
             cols[out] = agg[name]
         return pa.table(cols)
+
+    if mode == "shuffle":
+        from .joins import join_partitions
+        parts = join_partitions(64)
+        return (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+                  .repartition(parts, keys=keys)
+                  .map_batches(combine, batch_format="pyarrow",
+                               batch_size=None))
 
     cur = ds.map_batches(partial, batch_format="pyarrow",
                          batch_size=None).materialize()

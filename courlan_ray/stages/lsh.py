@@ -4,31 +4,41 @@ The band bucket key is the generalization of the reference's per-domain
 grouping key ``hostinfo`` (/root/reference/courlan/urlutils.py:83-96 used at
 urlstore.py:199-200): identical band rows -> same bucket -> per-bucket work.
 
-Three candidate channels feed ONE unified (bucket, salt, image_id) stream:
+Three candidate channels feed ONE unified (bucket, image_id) stream:
   - MinHash caption bands  (near-dup captions, banded Jaccard)
   - phash 16-bit bands     (Hamming-ball: 4 bands find every pair with
-    pixel-phash distance <= 3 by pigeonhole)
+    pixel-phash distance <= 3 by pigeonhole; decode_ok rows only)
   - winnowing fingerprints (shared long substrings, suffix-array stand-in)
 
-Candidate generation is **star-shaped and fully vectorized** — no per-group
-Python, no O(|bucket|²) pair blowup:
+Candidate generation is **star-shaped, two-level, and fully vectorized** —
+no per-group Python, no O(|bucket|^2) pair blowup, and no global barrier
+tree:
 
-  1. every bucket is salted into ``num_salts`` sub-buckets by
-     ``hash(image_id) % S`` (north_rule: "explicit salting of hot bands"),
-     so no single aggregation group or join partition sees more than
-     ~|bucket|/S rows;
-  2. ``groupby(bucket, salt).aggregate(Min(image_id))`` computes each
-     sub-bucket's representative (C-vectorized sort-aggregate);
-  3. star edges (sub_rep -> member) attach via a partitioned hash join;
-  4. a second, tiny aggregate over sub-bucket reps links sub-buckets
-     (bucket_rep -> sub_rep), preserving exactly the connectivity of the
-     unsalted computation.
+  level 1 (map-side, per block): every block groups its banding rows by
+     (bucket, salt) — salt = hash(image_id) % num_salts, the north_rule's
+     explicit hot-band salting, bounding any single local group — links
+     members to the block-local sub-bucket representative (star edges) and
+     passes ONE rep row per (bucket, salt) upward with a member count.
+     A hot band with 10^6 members in a block leaves as <= num_salts rows.
+  level 2 (cross-block link, size-adaptive): rep rows are linked across
+     blocks and salts per bucket — below ``cfg.lsh_driver_link_max`` rows
+     on the driver (vectorized pyarrow group_by, one arrow table), above it
+     via a keyed hash-shuffle ``repartition(P, keys=["bucket"])`` so each
+     bucket lands wholly in one partition and is linked by a vectorized
+     per-partition pass (the multi-node scale path; requires the
+     HASH_SHUFFLE strategy enabled in ``courlan_ray/__init__``).
 
-A star per bucket emits |bucket| edges instead of |bucket|² pairs;
+A star per bucket emits |bucket| edges instead of |bucket|^2 pairs;
 transitive closure in the components stage recovers full clusters, and
 verification prunes false-positive spokes (a true pair that loses its spoke
 in one bucket still links through any of the other ~bands shared buckets).
-Edge dedup across channels/bands is another vectorized aggregate.
+
+Weak-channel noise: per-bucket totals fall out of level 2 for free; weak
+channels (phash bands, fingerprints) with totals above
+``cfg.weak_bucket_cap`` are collision noise (e.g. a common phrase) and all
+their edges are dropped by a broadcast filter.  Strong MinHash bands are
+never capped.  Edge dedup across channels/bands is a grouped aggregation
+with explicitly-declared cardinality (stages/agg.py).
 """
 
 from __future__ import annotations
@@ -48,12 +58,18 @@ CH_MINHASH, CH_PHASH, CH_FINGERPRINT = 1, 2, 3
 
 
 def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    """Signature rows -> exploded (bucket:int64, salt:int32, image_id) rows
-    for all three channels.  Vectorized; output is narrow by design."""
+    """Signature rows -> exploded (bucket:int64, salt:int32, ch:int8,
+    image_id) rows for all enabled channels.  Vectorized; narrow by design.
+    Pixel-channel rows are emitted only for ``decode_ok`` rows (a failed
+    decode has no trustworthy phash)."""
     n = sig_batch.num_rows
     ids = sig_batch["image_id"]
     id_hash = hash_strings(ids.to_pylist(), seed=cfg.seed + 77)
     salt = (id_hash % _U64(cfg.num_salts)).astype(np.int32)
+    if "decode_ok" in sig_batch.schema.names:
+        dec_ok = sig_batch["decode_ok"].to_numpy(zero_copy_only=False)
+    else:
+        dec_ok = np.ones(n, dtype=bool)
 
     buckets: list[np.ndarray] = []
     row_idx: list[np.ndarray] = []
@@ -69,19 +85,23 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         chan_tags.append(np.full(n * cfg.bands, CH_MINHASH))
 
     if "phash" in cfg.channels:
-        # phash 16-bit bands (Hamming-ball multi-index)
-        ph = sig_batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(_U64)
-        nb = cfg.phash_bands
-        width = 64 // nb
-        mask = _U64((1 << width) - 1)
-        pieces = np.empty((n, nb), dtype=_U64)
-        for b in range(nb):
-            piece = (ph >> _U64(b * width)) & mask
-            pieces[:, b] = splitmix64(piece ^ splitmix64(np.full(n, _U64(b + 101))))
-        ch2 = splitmix64(pieces ^ _U64(CH_PHASH))
-        buckets.append(ch2.ravel())
-        row_idx.append(np.repeat(np.arange(n), nb))
-        chan_tags.append(np.full(n * nb, CH_PHASH))
+        # phash 16-bit bands (Hamming-ball multi-index), decode_ok rows only
+        ok_idx = np.flatnonzero(dec_ok)
+        m = ok_idx.size
+        if m:
+            ph = sig_batch["phash"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(_U64)[ok_idx]
+            nb = cfg.phash_bands
+            width = 64 // nb
+            mask = _U64((1 << width) - 1)
+            pieces = np.empty((m, nb), dtype=_U64)
+            for b in range(nb):
+                piece = (ph >> _U64(b * width)) & mask
+                pieces[:, b] = splitmix64(piece ^ splitmix64(np.full(m, _U64(b + 101))))
+            ch2 = splitmix64(pieces ^ _U64(CH_PHASH))
+            buckets.append(ch2.ravel())
+            row_idx.append(np.repeat(ok_idx, nb))
+            chan_tags.append(np.full(m * nb, CH_PHASH))
 
     if "fingerprint" in cfg.channels:
         fp_list = sig_batch["fingerprints"].combine_chunks()
@@ -104,147 +124,158 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
 
 def _canon_edges(batch: pa.Table, left: str, right: str) -> pa.Table:
-    """Order each edge (min, max), drop self-edges, add a dedup key."""
-    l = batch[left].to_pandas().to_numpy(dtype=object)
-    r = batch[right].to_pandas().to_numpy(dtype=object)
-    swap = l > r
-    l2 = np.where(swap, r, l)
-    r2 = np.where(swap, l, r)
-    keep = l2 != r2
-    l2, r2 = l2[keep], r2[keep]
-    pk = hash_u64_pair(hash_strings(l2, seed=1), hash_strings(r2, seed=2))
-    return pa.table({"left_id": pa.array(l2, pa.string()),
-                     "right_id": pa.array(r2, pa.string()),
+    """Order each edge (min, max) — vectorized Arrow string compare — drop
+    self-edges, add a 64-bit dedup key."""
+    l, r = batch[left], batch[right]
+    l2 = pc.min_element_wise(l, r)
+    r2 = pc.max_element_wise(l, r)
+    keep = pc.not_equal(l2, r2)
+    l2 = l2.filter(keep).combine_chunks()
+    r2 = r2.filter(keep).combine_chunks()
+    pk = hash_u64_pair(hash_strings(l2.to_pylist(), seed=1),
+                       hash_strings(r2.to_pylist(), seed=2))
+    return pa.table({"left_id": l2, "right_id": r2,
                      "pair_key": pa.array(pk.view(np.int64), pa.int64())})
 
 
-def _reduce_round(b: pa.Table) -> pa.Table:
-    """One combine-tree round over (bucket, salt, ch, image_id, cnt) rows:
-    per (bucket, salt) group take the min id as representative, emit a
-    star edge rep -> member for every other member, and pass the rep row
-    (with summed count) upward.  Output mixes edge rows and rep rows,
-    tagged by ``is_rep``; fully vectorized (pyarrow group_by + take)."""
-    if b.num_rows == 0:
-        return pa.table({"bucket": b["bucket"], "salt": b["salt"],
-                         "ch": b["ch"], "image_id": b["image_id"],
-                         "cnt": b["cnt"], "partner": b["image_id"],
-                         "is_rep": pa.array([], pa.bool_())})
-    agg = b.group_by(["bucket", "salt"]).aggregate(
-        [("image_id", "min"), ("ch", "min"), ("cnt", "sum")])
-    # vectorized local attach: position of each row's group in agg
-    key_all = hash_u64_pair(b["bucket"].to_numpy(zero_copy_only=False).view(np.uint64),
-                            b["salt"].to_numpy(zero_copy_only=False).astype(np.uint64))
-    key_agg = hash_u64_pair(agg["bucket"].to_numpy(zero_copy_only=False).view(np.uint64),
-                            agg["salt"].to_numpy(zero_copy_only=False).astype(np.uint64))
+def _group_pos(key_all: np.ndarray, key_agg: np.ndarray) -> np.ndarray:
+    """Position of each row's group in an aggregated table (searchsorted)."""
     order = np.argsort(key_agg, kind="stable")
-    pos = order[np.searchsorted(key_agg[order], key_all)]
+    return order[np.searchsorted(key_agg[order], key_all)]
+
+
+def _local_stars(b: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Level 1: banding + block-local star reduction in one fused pass.
+
+    Output rows, tagged ``is_rep``:
+      edges (is_rep=False): bucket, ch, image_id=member, partner=local rep
+      reps  (is_rep=True):  bucket, salt, ch, image_id=local min, cnt
+    """
+    rows = banding_rows(b, cfg)
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "salt": pa.array([], pa.int32()),
+                      "ch": pa.array([], pa.int8()),
+                      "image_id": pa.array([], pa.string()),
+                      "partner": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64()),
+                      "is_rep": pa.array([], pa.bool_())})
+    if rows.num_rows == 0:
+        return empty
+    agg = rows.group_by(["bucket", "salt"]).aggregate(
+        [("image_id", "min"), ("ch", "min"), ("image_id", "count")])
+    key_all = hash_u64_pair(rows["bucket"].to_numpy(zero_copy_only=False).view(_U64),
+                            rows["salt"].to_numpy(zero_copy_only=False).astype(_U64))
+    key_agg = hash_u64_pair(agg["bucket"].to_numpy(zero_copy_only=False).view(_U64),
+                            agg["salt"].to_numpy(zero_copy_only=False).astype(_U64))
+    pos = _group_pos(key_all, key_agg)
     reps_for_rows = agg["image_id_min"].take(pa.array(pos, pa.int64()))
 
-    edge_mask = pc.not_equal(b["image_id"], reps_for_rows)
-    f = b.filter(edge_mask)
+    edge_mask = pc.not_equal(rows["image_id"], reps_for_rows)
+    f = rows.filter(edge_mask)
+    nf, na = f.num_rows, agg.num_rows
     edges = pa.table({
         "bucket": f["bucket"], "salt": f["salt"], "ch": f["ch"],
-        "image_id": f["image_id"], "cnt": f["cnt"],
+        "image_id": f["image_id"],
         "partner": reps_for_rows.filter(edge_mask),
-        "is_rep": pa.array(np.zeros(f.num_rows, dtype=bool)),
+        "cnt": pa.array(np.ones(nf, dtype=np.int64)),
+        "is_rep": pa.array(np.zeros(nf, dtype=bool)),
     })
     reps = pa.table({
         "bucket": agg["bucket"], "salt": agg["salt"], "ch": agg["ch_min"],
-        "image_id": agg["image_id_min"], "cnt": agg["cnt_sum"],
-        "partner": agg["image_id_min"],
-        "is_rep": pa.array(np.ones(agg.num_rows, dtype=bool)),
+        "image_id": agg["image_id_min"], "partner": agg["image_id_min"],
+        "cnt": agg["image_id_count"],
+        "is_rep": pa.array(np.ones(na, dtype=bool)),
     })
     return pa.concat_tables([edges, reps])
+
+
+def _link_reps(tbl: pa.Table, cap: int) -> tuple[pa.Table, np.ndarray]:
+    """Level 2 core: link rep rows per bucket (global min -> each local rep)
+    and find noisy weak-channel buckets (total members > cap).
+
+    Returns (edge table (bucket, ch, left_id, right_id), noisy bucket
+    int64 array).  Pure vectorized pyarrow/numpy — used both on the driver
+    (small) and inside each hash-shuffle partition (scale path)."""
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "ch": pa.array([], pa.int8()),
+                      "left_id": pa.array([], pa.string()),
+                      "right_id": pa.array([], pa.string())})
+    if tbl.num_rows == 0:
+        return empty, np.empty(0, dtype=np.int64)
+    agg = tbl.group_by("bucket").aggregate(
+        [("image_id", "min"), ("cnt", "sum"), ("ch", "min")])
+    pos = _group_pos(tbl["bucket"].to_numpy(zero_copy_only=False),
+                     agg["bucket"].to_numpy(zero_copy_only=False))
+    rep = agg["image_id_min"].take(pa.array(pos, pa.int64()))
+    mask = pc.not_equal(tbl["image_id"], rep)
+    f = tbl.filter(mask)
+    edges = pa.table({"bucket": f["bucket"], "ch": f["ch"],
+                      "left_id": rep.filter(mask),
+                      "right_id": f["image_id"]})
+    noisy_mask = (agg["cnt_sum"].to_numpy(zero_copy_only=False) > cap) \
+        & (agg["ch_min"].to_numpy(zero_copy_only=False) != CH_MINHASH)
+    noisy = agg["bucket"].to_numpy(zero_copy_only=False)[noisy_mask]
+    return edges, noisy.astype(np.int64)
 
 
 def candidate_pairs(sig_ds, cfg: DedupConfig):
     """Signatures -> distinct candidate (left_id, right_id) star edges.
 
-    **Hierarchical star construction, zero joins**: each combine-tree
-    round links every member to its block-local sub-bucket representative
-    and passes only the representatives (one row per (bucket, salt) per
-    block) upward; the next round links those reps to each other's
-    winners.  Connectivity is identical to attaching the global min to
-    every member, but no attach join or broadcast ever happens — the
-    whole stage is map passes + coalescing repartitions, which is also
-    the right topology on a multi-node cluster (tree reduction).  A final
-    local pass at the tree root links sub-bucket reps across salts
-    (restoring full-bucket connectivity) and computes bucket totals for
-    the weak-channel noise cap."""
-    banded = sig_ds.map_batches(lambda b: banding_rows(b, cfg),
-                                batch_format="pyarrow",
-                                batch_size=cfg.batch_size)
-    banded = banded.map_batches(
-        lambda b: b.append_column("cnt", pa.array(
-            np.ones(b.num_rows, dtype=np.int64))),
-        batch_format="pyarrow")
-
-    cap = cfg.weak_bucket_cap
-    edge_rounds = []
-    cur = banded.map_batches(_reduce_round, batch_format="pyarrow",
-                             batch_size=None).materialize()
-    merged_in_one = cur.num_blocks() <= 1
-    while True:
-        edge_rounds.append(cur.filter(expr="is_rep == False"))
-        reps = cur.filter(expr="is_rep == True")
-        if merged_in_one:
-            # the last round ran as a single batch: reps are now global
-            # per-(bucket, salt) minima (the executor may have re-split
-            # the OUTPUT into several blocks; that doesn't undo the merge)
-            top = reps
-            break
-        target = max(1, cur.num_blocks() // 8)
-        cur = (reps.repartition(target)
-                   .map_batches(_reduce_round, batch_format="pyarrow",
-                                batch_size=None).materialize())
-        merged_in_one = target == 1
-
-    # tree root: link sub-bucket reps within each bucket across salts and
-    # compute total bucket sizes (cnt sums) for the cap
-    def across_salts(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"bucket": pa.array([], pa.int64()),
-                             "ch": pa.array([], pa.int8()),
-                             "left_id": pa.array([], pa.string()),
-                             "right_id": pa.array([], pa.string()),
-                             "bucket_n": pa.array([], pa.int64())})
-        agg = b.group_by("bucket").aggregate(
-            [("image_id", "min"), ("cnt", "sum")])
-        ka = agg["bucket"].to_numpy(zero_copy_only=False)
-        kb = b["bucket"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ka, kind="stable")
-        pos = order[np.searchsorted(ka[order], kb)]
-        rep = agg["image_id_min"].take(pa.array(pos, pa.int64()))
-        total = agg["cnt_sum"].take(pa.array(pos, pa.int64()))
-        mask = pc.not_equal(b["image_id"], rep)
-        f = b.filter(mask)
-        return pa.table({"bucket": f["bucket"], "ch": f["ch"],
-                         "left_id": rep.filter(mask),
-                         "right_id": f["image_id"],
-                         "bucket_n": total.filter(mask)})
-
-    top_mat = top.materialize()
-    e2 = top_mat.repartition(1).map_batches(across_salts,
-                                            batch_format="pyarrow",
-                                            batch_size=None)
-
-    # bucket totals -> the (small) noisy-bucket list for the weak cap
-    def bucket_totals(b: pa.Table) -> pa.Table:
-        agg = b.group_by(["bucket", "ch"]).aggregate([("cnt", "sum")])
-        return pa.table({"bucket": agg["bucket"], "ch": agg["ch"],
-                         "bucket_n": agg["cnt_sum"]})
-
-    totals = top_mat.map_batches(bucket_totals, batch_format="pyarrow",
-                                 batch_size=None)
-    from .agg import grouped_agg
-    totals = grouped_agg(totals, ["bucket", "ch"],
-                         [("bucket_n", "sum", "bucket_n")])
-    noisy_tbl = totals.filter(expr=f"bucket_n > {cap}").materialize()
+    See module docstring for the two-level construction.  ``sig_ds`` should
+    be the (narrow) signature table; callers filter invalid / exact-dup rows
+    first."""
     import ray
-    noisy_minhash_free = noisy_tbl.filter(
-        expr=f"ch != {CH_MINHASH}").select_columns(["bucket"])
-    noisy = set(r["bucket"] for r in noisy_minhash_free.take_all())
-    noisy_ref = ray.put(np.array(sorted(noisy), dtype=np.int64))
+    import ray.data as rd
+    from .agg import grouped_agg
+    from .joins import _collect, join_partitions
+
+    st1 = sig_ds.map_batches(lambda b: _local_stars(b, cfg),
+                             batch_format="pyarrow",
+                             batch_size=cfg.batch_size).materialize()
+    reps = st1.filter(expr="is_rep == True")
+    edges1 = st1.filter(expr="is_rep == False")
+
+    n_reps = reps.count()
+    cap = cfg.weak_bucket_cap
+    if n_reps <= cfg.lsh_driver_link_max:
+        tbl = _collect(reps.select_columns(["bucket", "ch", "image_id", "cnt"]))
+        e2_tbl, noisy = _link_reps(tbl, cap)
+        edges2 = rd.from_arrow(e2_tbl.select(["bucket", "ch",
+                                              "left_id", "right_id"]))
+        noisy_list = [noisy]
+    else:
+        # scale path: co-locate each bucket via keyed hash shuffle, link
+        # per-partition; noisy buckets come back as tagged marker rows
+        parts = join_partitions(cfg.shuffle_partitions)
+
+        def link_block(b: pa.Table) -> pa.Table:
+            edges, noisy = _link_reps(b, cap)
+            marker = pa.table({
+                "bucket": pa.array(noisy, pa.int64()),
+                "ch": pa.array(np.full(noisy.size, CH_PHASH, dtype=np.int8),
+                               pa.int8()),
+                "left_id": pa.array([""] * noisy.size, pa.string()),
+                "right_id": pa.array([""] * noisy.size, pa.string()),
+                "is_noise": pa.array(np.ones(noisy.size, dtype=bool)),
+            })
+            edges = edges.append_column(
+                "is_noise", pa.array(np.zeros(edges.num_rows, dtype=bool)))
+            return pa.concat_tables([edges, marker])
+
+        linked = (reps.select_columns(["bucket", "ch", "image_id", "cnt"])
+                  .repartition(parts, keys=["bucket"])
+                  .map_batches(link_block, batch_format="pyarrow",
+                               batch_size=None).materialize())
+        noisy_rows = linked.filter(expr="is_noise == True") \
+            .select_columns(["bucket"]).take_all()
+        noisy_list = [np.array([r["bucket"] for r in noisy_rows],
+                               dtype=np.int64)]
+        edges2 = linked.filter(expr="is_noise == False") \
+            .select_columns(["bucket", "ch", "left_id", "right_id"])
+
+    noisy_arr = np.sort(np.concatenate(noisy_list)) if noisy_list else \
+        np.empty(0, dtype=np.int64)
+    noisy_ref = ray.put(noisy_arr)
 
     def finalize(b: pa.Table) -> pa.Table:
         """Drop weak-channel edges from noisy buckets, canonicalize."""
@@ -252,31 +283,28 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
             return pa.table({"left_id": pa.array([], pa.string()),
                              "right_id": pa.array([], pa.string()),
                              "pair_key": pa.array([], pa.int64())})
-        noisy_arr = cached_get(noisy_ref)
+        na = cached_get(noisy_ref)
         bu = b["bucket"].to_numpy(zero_copy_only=False)
         ch = b["ch"].to_numpy(zero_copy_only=False)
         is_noisy = np.zeros(len(bu), dtype=bool)
-        if noisy_arr.size:
-            pos = np.searchsorted(noisy_arr, bu)
-            pos = np.clip(pos, 0, noisy_arr.size - 1)
-            is_noisy = (noisy_arr[pos] == bu) & (ch != CH_MINHASH)
+        if na.size:
+            pos = np.clip(np.searchsorted(na, bu), 0, na.size - 1)
+            is_noisy = (na[pos] == bu) & (ch != CH_MINHASH)
         return _canon_edges(b.filter(pa.array(~is_noisy)),
                             "left_id", "right_id")
 
-    def tag_edges(b: pa.Table) -> pa.Table:
-        return pa.table({"bucket": b["bucket"], "ch": b["ch"],
-                         "left_id": b["partner"],
-                         "right_id": b["image_id"]})
+    e1 = edges1.map_batches(
+        lambda b: pa.table({"bucket": b["bucket"], "ch": b["ch"],
+                            "left_id": b["partner"],
+                            "right_id": b["image_id"]}),
+        batch_format="pyarrow")
+    canonical = e1.union(edges2).map_batches(finalize, batch_format="pyarrow")
 
-    all_edges = None
-    for er in edge_rounds:
-        t = er.map_batches(tag_edges, batch_format="pyarrow")
-        all_edges = t if all_edges is None else all_edges.union(t)
-    all_edges = all_edges.union(e2.drop_columns(["bucket_n"]))
-
-    canonical = all_edges.map_batches(finalize, batch_format="pyarrow")
-
+    # raw edge count (pre-dedup) bounds the distinct-key cardinality, so the
+    # aggregation mode is declared, not guessed (the lazy-auto trap fix)
+    approx_edges = st1.count()
     distinct = grouped_agg(canonical, ["pair_key"],
                            [("left_id", "min", "left_id"),
-                            ("right_id", "min", "right_id")])
+                            ("right_id", "min", "right_id")],
+                           approx_count=approx_edges)
     return distinct.drop_columns(["pair_key"])

@@ -10,10 +10,25 @@ signature + caption SimHash; winnowing substring fingerprints.  Decoded
 pixels are dropped before return — only narrow signature columns ever reach
 a shuffle (SURVEY.md §4 memory row).
 
+With ``with_gates=True`` the actor runs the canonicalization gate chain
+(stages/canonicalize.py, the check_url generalization) on the raw batch
+first and emits EVERY row — invalid rows keep ``valid=False`` /
+``reject_reason`` and get empty signatures.  This fuses
+read -> canonicalize -> signatures into ONE traversal of the wide byte
+payload: the single most expensive scan of the pipeline happens exactly
+once, and the materialized output is the narrow "sigtable" every
+downstream stage (exact dedup, LSH, verify, components, counters,
+rejected sink) reads instead of re-scanning the input.
+
+Pixel math is batched: per-image decode + area-resample to a 32x32 gray
+stack, then ONE broadcast (B,32,32) DCT matmul chain for all phashes and
+one reshape-mean for all pixel SimHashes — no per-image DCT calls.
+
 Output schema:
-  image_id, caption_key, minhash: fixed_size_list<uint64>[num_perm],
-  simhash_cap: int64 (bits), simhash_pix: int64, phash: int64 (recomputed),
-  fingerprints: list<uint64>, shingle_count: int32, decode_ok: bool
+  image_id, caption_key, valid, reject_reason,
+  minhash: fixed_size_list<int64>[num_perm], simhash_cap: int64,
+  simhash_pix: int64, phash: int64 (recomputed; input value when decode
+  fails), fingerprints: list<int64>, shingle_count: int32, decode_ok: bool
 """
 
 from __future__ import annotations
@@ -23,8 +38,11 @@ import pyarrow as pa
 
 from ..config import DedupConfig
 from ..functions import imagecodec as codec
-from ..functions.hashing import (char_shingle_hashes, minhash_signatures,
-                                 simhash64, winnowing_fingerprints)
+from ..functions.hashing import (char_shingle_hashes, hash_strings,
+                                 minhash_signatures, simhash64, splitmix64,
+                                 winnowing_fingerprints)
+
+_U64 = np.uint64
 
 
 def _pixel_features(arr: np.ndarray) -> np.ndarray:
@@ -40,51 +58,121 @@ def pixel_simhash64(arr: np.ndarray) -> int:
     return int(np.packbits(bits, bitorder="little").view("<u8")[0])
 
 
+def _pack_bits64(bits: np.ndarray) -> np.ndarray:
+    """(m, 64) bool/uint8 -> (m,) uint64, little bit order."""
+    return np.packbits(bits.astype(np.uint8), axis=1,
+                       bitorder="little").view("<u8").ravel()
+
+
+def pixel_hashes_batch(payloads: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a batch of payloads -> (phash u64, simhash_pix u64, ok bool).
+
+    Decode + resize run per payload (variable sizes force it); the DCT /
+    thresholding runs ONCE for the whole stack — one (B,32,32) matmul chain
+    instead of B separate 32x32 DCTs."""
+    n = len(payloads)
+    ok = np.zeros(n, dtype=bool)
+    grays = []
+    for i, p in enumerate(payloads):
+        try:
+            grays.append(codec._resize_gray_32(codec.decode_image(p)))
+            ok[i] = True
+        except codec.CodecError:
+            pass
+    phash = np.zeros(n, dtype=_U64)
+    simpix = np.zeros(n, dtype=_U64)
+    if grays:
+        G = np.stack(grays)                               # (m, 32, 32)
+        D = codec._DCT32
+        C = D[None] @ G @ D.T[None]                       # batched 2-D DCT
+        vals = C[:, :8, :8].reshape(len(grays), 64)[:, 1:]  # drop DC
+        med = np.median(vals, axis=1, keepdims=True)
+        bits = np.zeros((len(grays), 64), dtype=np.uint8)
+        bits[:, 1:] = vals > med
+        phash[ok] = _pack_bits64(bits)
+
+        feats = G.reshape(len(grays), 8, 4, 8, 4).mean(axis=(2, 4)) \
+                 .reshape(len(grays), 64)
+        sbits = feats > feats.mean(axis=1, keepdims=True)
+        simpix[ok] = _pack_bits64(sbits)
+    return phash, simpix, ok
+
+
 class SignatureActor:
     """Callable class for ``map_batches(SignatureActor, fn_constructor_args=
     (cfg,), concurrency=N)`` — setup once per actor, vectorized per batch."""
 
-    def __init__(self, cfg: DedupConfig):
+    def __init__(self, cfg: DedupConfig, with_gates: bool = False):
         self.cfg = cfg
+        self.with_gates = with_gates
         # touch the module-level DCT matrix so first-batch latency is paid here
         codec._DCT32 @ codec._DCT32.T
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        if self.with_gates:
+            from .canonicalize import canonicalize_batch
+            batch = canonicalize_batch(batch, cfg)
+            valid = batch["valid"].to_numpy(zero_copy_only=False)
+            reject = batch["reject_reason"]
+        else:
+            valid = np.ones(batch.num_rows, dtype=bool)
+            reject = pa.array([""] * batch.num_rows, pa.string())
         n = batch.num_rows
-        captions = batch["caption_key"].to_pylist()
+        vidx = np.flatnonzero(valid)
+        vb = batch.take(pa.array(vidx, pa.int64())) if len(vidx) < n else batch
+        captions = vb["caption_key"].to_pylist()
 
-        sh, counts = char_shingle_hashes(captions, cfg.shingle_width, seed=cfg.seed)
-        minh = minhash_signatures(sh, counts, cfg.num_perm, seed=cfg.seed + 1)
-        sim_cap = simhash64(sh, counts)
-        fps, fp_counts = winnowing_fingerprints(
-            captions, cfg.fingerprint_k, cfg.fingerprint_window, seed=cfg.seed + 2)
+        sh, v_counts = char_shingle_hashes(captions, cfg.shingle_width,
+                                           seed=cfg.seed)
+        v_minh = minhash_signatures(sh, v_counts, cfg.num_perm,
+                                    seed=cfg.seed + 1)
+        v_sim_cap = simhash64(sh, v_counts)
+        v_fps, v_fp_counts = winnowing_fingerprints(
+            captions, cfg.fingerprint_k, cfg.fingerprint_window,
+            seed=cfg.seed + 2)
 
-        payloads = batch["bytes"].to_pylist()
-        phash = np.zeros(n, dtype=np.uint64)
-        sim_pix = np.zeros(n, dtype=np.uint64)
-        ok = np.zeros(n, dtype=bool)
-        for i in range(n):          # decode is inherently per-payload
-            try:
-                arr = codec.decode_image(payloads[i])
-                phash[i] = codec.phash64(arr)
-                sim_pix[i] = pixel_simhash64(arr)
-                ok[i] = True
-            except codec.CodecError:
-                pass
+        in_phash = vb["phash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(_U64)
+        v_phash, v_simpix, v_ok = pixel_hashes_batch(vb["bytes"].to_pylist())
+        # decode failure: keep the input phash (can't verify it) and give the
+        # pixel SimHash a per-row noise value so failed rows never share a
+        # pixel band bucket (banding additionally skips decode_ok=False rows)
+        fail = ~v_ok
+        if fail.any():
+            v_phash[fail] = in_phash[fail]
+            v_simpix[fail] = splitmix64(
+                hash_strings(np.asarray(captions, dtype=object)[fail],
+                             seed=cfg.seed + 9) ^ _U64(0xDEAD))
+
+        # scatter valid-row results back to full batch length
+        minh = np.zeros((n, cfg.num_perm), dtype=_U64)
+        minh[vidx] = v_minh
+        sim_cap = np.zeros(n, dtype=_U64); sim_cap[vidx] = v_sim_cap
+        phash = np.zeros(n, dtype=_U64); phash[vidx] = v_phash
+        simpix = np.zeros(n, dtype=_U64); simpix[vidx] = v_simpix
+        ok = np.zeros(n, dtype=bool); ok[vidx] = v_ok
+        counts = np.zeros(n, dtype=np.int64); counts[vidx] = v_counts
+        fp_counts = np.zeros(n, dtype=np.int64); fp_counts[vidx] = v_fp_counts
+
+        cap_full = batch["caption_key"] if len(vidx) == n else \
+            batch["caption_key"]
 
         mh_flat = pa.array(minh.view(np.int64).ravel(), pa.int64())
         minhash_col = pa.FixedSizeListArray.from_arrays(mh_flat, cfg.num_perm)
         fp_offsets = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(fp_counts, out=fp_offsets[1:])
         fp_col = pa.ListArray.from_arrays(pa.array(fp_offsets, pa.int32()),
-                                          pa.array(fps.view(np.int64), pa.int64()))
+                                          pa.array(v_fps.view(np.int64),
+                                                   pa.int64()))
         return pa.table({
             "image_id": batch["image_id"],
-            "caption_key": batch["caption_key"],
+            "caption_key": cap_full,
+            "valid": pa.array(valid),
+            "reject_reason": reject,
             "minhash": minhash_col,
             "simhash_cap": pa.array(sim_cap.view(np.int64), pa.int64()),
-            "simhash_pix": pa.array(sim_pix.view(np.int64), pa.int64()),
+            "simhash_pix": pa.array(simpix.view(np.int64), pa.int64()),
             "phash": pa.array(phash.view(np.int64), pa.int64()),
             "fingerprints": fp_col,
             "shingle_count": pa.array(counts.astype(np.int32), pa.int32()),
@@ -92,25 +180,27 @@ class SignatureActor:
         })
 
 
-def compute_signatures(ds, cfg: DedupConfig):
-    """Valid rows -> signature table via an actor pool; binary payload is
-    consumed here and never emitted.
-
-    Pool size is clamped to CPUs-2 so the pool never reserves every CPU and
-    starves the read/shuffle stages (a pool that owns the whole node
-    serializes the pipeline)."""
+def _pool_size(cfg: DedupConfig) -> int:
+    """Clamp pool to CPUs-2 so the pool never reserves every CPU and starves
+    the read stage (a pool that owns the whole node serializes the pipeline)."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    pool = max(1, min(cfg.signature_concurrency, cpus - 2))
+    return max(1, min(cfg.signature_concurrency, cpus - 2))
+
+
+def compute_signatures(ds, cfg: DedupConfig, *, with_gates: bool = False):
+    """Rows -> signature table via an actor pool; the binary payload is
+    consumed here and never emitted.  ``with_gates=True`` fuses the
+    canonicalization gate chain in front (see module docstring)."""
     return ds.map_batches(
         SignatureActor,
-        fn_constructor_args=(cfg,),
+        fn_constructor_args=(cfg, with_gates),
         batch_format="pyarrow",
         batch_size=cfg.signature_batch_size,
-        concurrency=pool,
+        concurrency=_pool_size(cfg),
         num_cpus=1,
     )

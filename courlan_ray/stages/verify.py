@@ -1,13 +1,15 @@
 """Candidate-pair verification: banded Jaccard + Hamming thresholds.
 
-Joins candidate pairs back to the (narrow) signature table — broadcast when
-the signature side is small, partitioned hash join at scale (SURVEY.md
-§2.5) — then verifies each pair with vectorized kernels:
+Joins candidate pairs back to the (narrow) signature table — a numpy
+broadcast pack when the signature side is small, a partitioned hash join
+at scale (SURVEY.md §2.5; the size switch is
+``cfg.verify_broadcast_max``) — then verifies each pair with vectorized
+kernels:
 
 - caption channel: estimated Jaccard (fraction of agreeing MinHash perms)
   >= ``jaccard_threshold``
 - pixel channel: phash Hamming distance <= ``hamming_threshold`` or pixel
-  SimHash Hamming <= ``simhash_hamming_threshold``
+  SimHash Hamming <= ``simhash_hamming_threshold`` (both sides decode_ok)
 - substring channel: shared winnowing fingerprints, confirmed by exact
   longest-common-substring ratio >= ``substring_min_ratio`` (the
   suffix-array verification path; pairs are few by now so per-pair DP is
@@ -15,6 +17,15 @@ the signature side is small, partitioned hash join at scale (SURVEY.md
 
 A pair survives if ANY channel verifies; the channel verdicts are kept as
 boolean columns for lineage.
+
+The broadcast pack is PURE NUMPY built zero-copy from Arrow buffers (no
+per-row Python): plain-dtype numpy arrays come out of the Ray object store
+zero-copy, so N workers reading the payload cost nothing per worker —
+unlike a pickled pandas/Arrow broadcast, which every worker would
+re-deserialize.  Above the threshold no driver materialization happens at
+all: signatures attach to pairs via two partitioned hash joins
+(``stages.joins.hash_join_pairs``) and the same vectorized verdict kernel
+runs on the attached columns.
 """
 
 from __future__ import annotations
@@ -28,18 +39,28 @@ from ..config import DedupConfig
 _U64 = np.uint64
 _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
+_OUT_SCHEMA = pa.schema([
+    ("left_id", pa.string()), ("right_id", pa.string()),
+    ("jaccard", pa.float32()), ("ham_phash", pa.int32()),
+    ("ham_simpix", pa.int32()), ("substr_ratio", pa.float32()),
+    ("verified", pa.bool_()),
+])
+
+_EMPTY_OUT = pa.table({f.name: pa.array([], f.type) for f in _OUT_SCHEMA})
+
 
 def _ham(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = a.astype(np.int64).view(_U64) ^ b.astype(np.int64).view(_U64)
     return _POP[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int32)
 
 
-def _lcs_len(a: str, b: str) -> int:
-    """Longest common substring length, O(len(a)*len(b)) rolling DP."""
+def _lcs_len(a: bytes, b: bytes) -> int:
+    """Longest common substring length, O(len(a)*len(b)) rolling DP over
+    utf-8 bytes."""
     if not a or not b:
         return 0
-    aa = np.frombuffer(a.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    bb = np.frombuffer(b.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    aa = np.frombuffer(a, dtype=np.uint8)
+    bb = np.frombuffer(b, dtype=np.uint8)
     if len(aa) > len(bb):
         aa, bb = bb, aa
     prev = np.zeros(len(bb) + 1, dtype=np.int32)
@@ -55,19 +76,42 @@ def _lcs_len(a: str, b: str) -> int:
     return best
 
 
+def _string_buffers(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(utf-8 byte buffer, int64 offsets[n+1]) of a string column, built
+    zero-copy from the Arrow buffers — no per-row Python.  Offsets are
+    ABSOLUTE into the returned buffer (valid for sliced arrays too)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    if off_buf is None:
+        return np.zeros(0, np.uint8), np.zeros(n + 1, np.int64)
+    off = np.frombuffer(off_buf, dtype=np.int32)[arr.offset: arr.offset + n + 1] \
+        .astype(np.int64)
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf \
+        else np.zeros(0, np.uint8)
+    return data, off
+
+
+def _list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, int64 offsets) of a list<int64> column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.ascontiguousarray(
+        np.asarray(arr.flatten().to_numpy(zero_copy_only=False)))
+    off = np.ascontiguousarray(
+        arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    return flat, off
+
+
 def _pack_signatures(sig_ds, cfg: DedupConfig):
-    """Collect the signature table into PURE-NUMPY broadcast blocks:
-    plain-dtype numpy arrays come out of the Ray object store zero-copy,
-    so 32 workers reading a 400 MB payload costs nothing per worker —
-    unlike a pickled pandas/Arrow broadcast, which every worker would
-    re-deserialize (the measured cause of negative CPU scaling)."""
+    """Collect the signature table into pure-numpy broadcast blocks, sorted
+    by 64-bit id hash for searchsorted probing.  Vectorized end to end."""
     import ray
     from ..functions.hashing import hash_strings
     from .joins import _collect
 
     tbl = _collect(sig_ds.select_columns(
         ["image_id", "minhash", "simhash_pix", "phash",
-         "caption_key", "fingerprints"]))
+         "caption_key", "fingerprints", "decode_ok"]))
     n = tbl.num_rows
     id_hash = hash_strings(tbl["image_id"].to_pylist(), seed=0xA11CE)
     order = np.argsort(id_hash, kind="stable")
@@ -75,21 +119,12 @@ def _pack_signatures(sig_ds, cfg: DedupConfig):
 
     mh = np.ascontiguousarray(
         np.asarray(tbl["minhash"].chunk(0).flatten()
-                   .to_numpy(zero_copy_only=False)).reshape(n, cfg.num_perm))
-    caps = tbl["caption_key"].chunk(0)
-    cap_buf = np.frombuffer(
-        "\x00".join(caps.to_pylist()).encode("utf-8", "surrogatepass")
-        + b"\x00", dtype=np.uint8) if n else np.zeros(0, np.uint8)
-    cap_lens = np.array([len(c.encode("utf-8", "surrogatepass"))
-                         for c in caps.to_pylist()], dtype=np.int64) \
-        if n else np.zeros(0, np.int64)
-    cap_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(cap_lens + 1, out=cap_off[1:])
-    fps = tbl["fingerprints"].chunk(0)
-    fp_flat = np.ascontiguousarray(
-        np.asarray(fps.flatten().to_numpy(zero_copy_only=False)))
-    fp_off = np.ascontiguousarray(
-        fps.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+                   .to_numpy(zero_copy_only=False)).reshape(n, cfg.num_perm)) \
+        if n else np.zeros((0, cfg.num_perm), np.int64)
+    cap_buf, cap_off = _string_buffers(tbl["caption_key"]) if n else \
+        (np.zeros(0, np.uint8), np.zeros(1, np.int64))
+    fp_flat, fp_off = _list_buffers(tbl["fingerprints"]) if n else \
+        (np.zeros(0, np.int64), np.zeros(1, np.int64))
     pack = {
         "id_hash": np.ascontiguousarray(id_hash[order]),
         "minhash": mh,
@@ -97,134 +132,216 @@ def _pack_signatures(sig_ds, cfg: DedupConfig):
             tbl["phash"].to_numpy(zero_copy_only=False)),
         "simhash_pix": np.ascontiguousarray(
             tbl["simhash_pix"].to_numpy(zero_copy_only=False)),
-        "cap_buf": cap_buf, "cap_off": cap_off, "cap_lens": cap_lens,
+        "decode_ok": np.ascontiguousarray(
+            tbl["decode_ok"].to_numpy(zero_copy_only=False)),
+        "cap_buf": cap_buf, "cap_off": cap_off,
         "fp_flat": fp_flat, "fp_off": fp_off,
     }
     return {k: ray.put(v) for k, v in pack.items()}
 
 
-def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
-    """(left_id, right_id) candidates -> verified pairs with verdict columns
-    (jaccard, ham_phash, ham_simpix, substr_ratio, verified:bool).
+def _verdicts(cfg: DedupConfig, *, mh_l, mh_r, ph_l, ph_r, sp_l, sp_r,
+              ok_l, ok_r, fp_l, fp_r, cap_l, cap_r):
+    """Shared verdict kernel over per-pair numpy views.
 
-    The substring channel verifies in two tiers: a cheap winnowing-
-    fingerprint containment bound first (vectorized explode+merge), and
-    the exact LCS dynamic program only for pairs clearing a
-    length-scaled shared-print bound."""
+    minhash: (n, num_perm); phash/simhash/ok: (n,);
+    fingerprints / captions per side: (flat_buffer, starts, ends) triples —
+    pair i's values live at flat[starts[i]:ends[i]] (need NOT be
+    contiguous across pairs, so both the gathered-corpus broadcast layout
+    and the contiguous join layout fit).  Returns dict of verdict arrays."""
+    fp_flat_l, fp_s_l, fp_e_l = fp_l
+    fp_flat_r, fp_s_r, fp_e_r = fp_r
+    cap_buf_l, cap_s_l, cap_e_l = cap_l
+    cap_buf_r, cap_s_r, cap_e_r = cap_r
+    n = len(ph_l)
+    jac = (mh_l == mh_r).mean(axis=1) if n else np.zeros(0)
+    ph = _ham(ph_l, ph_r)
+    sp = _ham(sp_l, sp_r)
+
+    cap_ok = jac >= cfg.jaccard_threshold
+    if "phash" in cfg.channels:
+        pix_ok = ((ph <= cfg.hamming_threshold)
+                  | (sp <= cfg.simhash_hamming_threshold)) & ok_l & ok_r
+    else:
+        pix_ok = np.zeros(n, dtype=bool)
+
+    # substring check only where cheap channels failed.  Containment
+    # |fp_l ∩ fp_r| via one vectorized explode+merge; the exact
+    # O(|a|*|b|) LCS runs only on pairs clearing a length-scaled
+    # shared-print bound (a true LCS of ratio*minlen chars yields
+    # ~ (ratio*minlen - (k+w-1)) / w shared winnowing prints).
+    sub_ratio = np.zeros(n, dtype=np.float32)
+    need = ~(cap_ok | pix_ok)
+    if need.any():
+        idx = np.flatnonzero(need)
+
+        def explode(flat, starts, ends):
+            cnt = (ends - starts)[idx]
+            flat_idx = np.repeat(starts[idx], cnt) + _ranges(cnt)
+            return pd.DataFrame({"p": np.repeat(idx, cnt),
+                                 "f": flat[flat_idx]})
+
+        common = explode(fp_flat_l, fp_s_l, fp_e_l).merge(
+            explode(fp_flat_r, fp_s_r, fp_e_r), on=["p", "f"])
+        inter = np.bincount(common["p"].to_numpy(), minlength=n)
+        minlen = np.minimum(cap_e_l - cap_s_l, cap_e_r - cap_s_r)
+        t_guar = cfg.fingerprint_k + cfg.fingerprint_window - 1
+        needed = (cfg.substring_min_ratio * minlen - t_guar) \
+            / cfg.fingerprint_window
+        floor = np.maximum(2, 0.5 * needed)
+        l_cnt = fp_e_l - fp_s_l
+        r_cnt = fp_e_r - fp_s_r
+        lcs_idx = idx[(inter[idx] >= floor[idx])
+                      & (l_cnt[idx] > 0) & (r_cnt[idx] > 0)]
+        for i in lcs_idx:
+            a = bytes(cap_buf_l[cap_s_l[i]:cap_e_l[i]])
+            b = bytes(cap_buf_r[cap_s_r[i]:cap_e_r[i]])
+            denom = min(len(a), len(b))
+            if denom >= cfg.fingerprint_k:
+                sub_ratio[i] = _lcs_len(a, b) / denom
+    sub_ok = sub_ratio >= cfg.substring_min_ratio
+
+    return {
+        "jaccard": np.asarray(jac, dtype=np.float32),
+        "ham_phash": ph, "ham_simpix": sp,
+        "substr_ratio": sub_ratio,
+        "verified": cap_ok | pix_ok | sub_ok,
+    }
+
+
+def _verify_broadcast(pairs_ds, sig_ds, cfg: DedupConfig):
+    """Small-signature path: numpy broadcast pack + searchsorted gather."""
     from .joins import cached_get
     from ..functions.hashing import hash_strings
 
-    # the candidate tree ends in one or two blocks; re-split so the
-    # gather+verify stages fan out across the cluster
-    try:
-        import ray
-        fanout = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    except Exception:
-        fanout = 16
-    pairs_ds = pairs_ds.repartition(fanout)
     refs = _pack_signatures(sig_ds, cfg)
-
-    num_perm = cfg.num_perm
 
     def kernel(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        empty = pa.table({"left_id": pa.array([], pa.string()),
-                          "right_id": pa.array([], pa.string()),
-                          "jaccard": pa.array([], pa.float32()),
-                          "ham_phash": pa.array([], pa.int32()),
-                          "ham_simpix": pa.array([], pa.int32()),
-                          "substr_ratio": pa.array([], pa.float32()),
-                          "verified": pa.array([], pa.bool_())})
         if n == 0:
-            return empty
+            return _EMPTY_OUT
         id_hash = cached_get(refs["id_hash"])
         probe_l = hash_strings(batch["left_id"].to_pylist(), seed=0xA11CE)
         probe_r = hash_strings(batch["right_id"].to_pylist(), seed=0xA11CE)
-        pos_l = np.clip(np.searchsorted(id_hash, probe_l), 0, len(id_hash) - 1)
-        pos_r = np.clip(np.searchsorted(id_hash, probe_r), 0, len(id_hash) - 1)
+        pos_l = np.clip(np.searchsorted(id_hash, probe_l), 0, max(len(id_hash) - 1, 0))
+        pos_r = np.clip(np.searchsorted(id_hash, probe_r), 0, max(len(id_hash) - 1, 0))
+        if len(id_hash) == 0:
+            return _EMPTY_OUT
         hit = (id_hash[pos_l] == probe_l) & (id_hash[pos_r] == probe_r)
         if not hit.all():
             batch = batch.filter(pa.array(hit))
             pos_l, pos_r = pos_l[hit], pos_r[hit]
             n = batch.num_rows
             if n == 0:
-                return empty
+                return _EMPTY_OUT
 
         mh = cached_get(refs["minhash"])
-        jac = (mh[pos_l] == mh[pos_r]).mean(axis=1)
         phash = cached_get(refs["phash"])
         simpix = cached_get(refs["simhash_pix"])
-        ph = _ham(phash[pos_l], phash[pos_r])
-        sp = _ham(simpix[pos_l], simpix[pos_r])
+        dec_ok = cached_get(refs["decode_ok"])
+        fp_flat = cached_get(refs["fp_flat"])
+        fp_off = cached_get(refs["fp_off"])
+        cap_buf = cached_get(refs["cap_buf"])
+        cap_off = cached_get(refs["cap_off"])
 
-        cap_ok = jac >= cfg.jaccard_threshold
-        if "phash" in cfg.channels:
-            pix_ok = (ph <= cfg.hamming_threshold) | (sp <= cfg.simhash_hamming_threshold)
-        else:
-            pix_ok = np.zeros(n, dtype=bool)
+        v = _verdicts(
+            cfg,
+            mh_l=mh[pos_l], mh_r=mh[pos_r],
+            ph_l=phash[pos_l], ph_r=phash[pos_r],
+            sp_l=simpix[pos_l], sp_r=simpix[pos_r],
+            ok_l=dec_ok[pos_l], ok_r=dec_ok[pos_r],
+            fp_l=(fp_flat, fp_off[pos_l], fp_off[pos_l + 1]),
+            fp_r=(fp_flat, fp_off[pos_r], fp_off[pos_r + 1]),
+            cap_l=(cap_buf, cap_off[pos_l], cap_off[pos_l + 1]),
+            cap_r=(cap_buf, cap_off[pos_r], cap_off[pos_r + 1]),
+        )
+        return _emit(batch, v)
 
-        # substring check only where cheap channels failed.  Containment
-        # |fp_l ∩ fp_r| via one vectorized explode+merge; the exact
-        # O(|a|*|b|) LCS runs only on pairs clearing a length-scaled
-        # shared-print bound (a true LCS of ratio*minlen chars yields
-        # ~ (ratio*minlen - (k+w-1)) / w shared winnowing prints).
-        sub_ratio = np.zeros(n, dtype=np.float32)
-        need = ~(cap_ok | pix_ok)
-        if need.any():
-            import pandas as pd
-            fp_flat = cached_get(refs["fp_flat"])
-            fp_off = cached_get(refs["fp_off"])
-            cap_lens = cached_get(refs["cap_lens"])
-            idx = np.flatnonzero(need)
+    return pairs_ds.map_batches(kernel, batch_format="pyarrow",
+                                batch_size=8192)
 
-            def explode(pos):
-                cnt = (fp_off[pos + 1] - fp_off[pos])[idx]
-                starts = fp_off[pos][idx]
-                flat_idx = np.repeat(starts, cnt) + _ranges(cnt)
-                return pd.DataFrame({"p": np.repeat(idx, cnt),
-                                     "f": fp_flat[flat_idx]})
 
-            common = explode(pos_l).merge(explode(pos_r), on=["p", "f"])
-            inter = np.bincount(common["p"].to_numpy(), minlength=n)
-            minlen = np.minimum(cap_lens[pos_l], cap_lens[pos_r])
-            t_guar = cfg.fingerprint_k + cfg.fingerprint_window - 1
-            needed = (cfg.substring_min_ratio * minlen - t_guar) \
-                / cfg.fingerprint_window
-            floor = np.maximum(2, 0.5 * needed)
-            l_cnt = fp_off[pos_l + 1] - fp_off[pos_l]
-            r_cnt = fp_off[pos_r + 1] - fp_off[pos_r]
-            lcs_idx = idx[(inter[idx] >= floor[idx])
-                          & (l_cnt[idx] > 0) & (r_cnt[idx] > 0)]
-            if lcs_idx.size:
-                cap_buf = cached_get(refs["cap_buf"])
-                cap_off = cached_get(refs["cap_off"])
+def _emit(batch: pa.Table, v: dict) -> pa.Table:
+    return pa.table({
+        "left_id": batch["left_id"],
+        "right_id": batch["right_id"],
+        "jaccard": pa.array(v["jaccard"], pa.float32()),
+        "ham_phash": pa.array(v["ham_phash"], pa.int32()),
+        "ham_simpix": pa.array(v["ham_simpix"], pa.int32()),
+        "substr_ratio": pa.array(v["substr_ratio"], pa.float32()),
+        "verified": pa.array(v["verified"]),
+    })
 
-                def cap_of(pos):
-                    return bytes(cap_buf[cap_off[pos]:cap_off[pos]
-                                         + cap_lens[pos]]).decode(
-                        "utf-8", "surrogatepass")
 
-                for i in lcs_idx:
-                    a, b = cap_of(pos_l[i]), cap_of(pos_r[i])
-                    denom = min(len(a), len(b))
-                    if denom >= cfg.fingerprint_k:
-                        sub_ratio[i] = _lcs_len(a, b) / denom
-        sub_ok = sub_ratio >= cfg.substring_min_ratio
+def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
+    """(left_id, right_id) candidates -> verified pairs with verdict columns
+    (jaccard, ham_phash, ham_simpix, substr_ratio, verified:bool).
 
-        verified = cap_ok | pix_ok | sub_ok
-        return pa.table({
-            "left_id": batch["left_id"],
-            "right_id": batch["right_id"],
-            "jaccard": pa.array(jac.astype(np.float32), pa.float32()),
-            "ham_phash": pa.array(ph, pa.int32()),
-            "ham_simpix": pa.array(sp, pa.int32()),
-            "substr_ratio": pa.array(sub_ratio, pa.float32()),
-            "verified": pa.array(verified),
-        })
+    Size-adaptive: below ``cfg.verify_broadcast_max`` signature rows the
+    signature table is broadcast as numpy blocks; above it signatures
+    attach via two partitioned hash joins (no driver materialization)."""
+    sig_ds = sig_ds.materialize()
+    n_sigs = sig_ds.count()
 
-    scored = pairs_ds.map_batches(kernel, batch_format="pyarrow",
-                                  batch_size=8192)
-    return scored
+    # re-split the (possibly few-block) candidate output so the verify
+    # stage fans out across the cluster
+    try:
+        import ray
+        fanout = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        fanout = 16
+    pairs_ds = pairs_ds.repartition(fanout)
+
+    if n_sigs <= cfg.verify_broadcast_max:
+        return _verify_broadcast(pairs_ds, sig_ds, cfg)
+    return _verify_joined(pairs_ds, sig_ds, cfg)
+
+
+def _verify_joined(pairs_ds, sig_ds, cfg: DedupConfig):
+    """Large-signature path: partitioned pair<->signature hash join, then
+    the same vectorized verdict kernel over the attached columns."""
+    from .joins import hash_join_pairs
+
+    cols = ["minhash", "simhash_pix", "phash", "caption_key",
+            "fingerprints", "decode_ok"]
+    attached = hash_join_pairs(
+        pairs_ds, sig_ds.select_columns(["image_id"] + cols),
+        id_col="image_id", payload_cols=cols,
+        num_partitions=cfg.shuffle_partitions,
+        broadcast_max=0)            # force the partitioned path
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY_OUT
+        num_perm = cfg.num_perm
+
+        def mh(col):
+            return np.asarray(batch[col].combine_chunks().flatten()
+                              .to_numpy(zero_copy_only=False)).reshape(n, num_perm)
+
+        fl_l, fo_l = _list_buffers(batch["fingerprints_l"])
+        fl_r, fo_r = _list_buffers(batch["fingerprints_r"])
+        cb_l, co_l = _string_buffers(batch["caption_key_l"])
+        cb_r, co_r = _string_buffers(batch["caption_key_r"])
+        v = _verdicts(
+            cfg,
+            mh_l=mh("minhash_l"), mh_r=mh("minhash_r"),
+            ph_l=batch["phash_l"].to_numpy(zero_copy_only=False),
+            ph_r=batch["phash_r"].to_numpy(zero_copy_only=False),
+            sp_l=batch["simhash_pix_l"].to_numpy(zero_copy_only=False),
+            sp_r=batch["simhash_pix_r"].to_numpy(zero_copy_only=False),
+            ok_l=batch["decode_ok_l"].to_numpy(zero_copy_only=False),
+            ok_r=batch["decode_ok_r"].to_numpy(zero_copy_only=False),
+            fp_l=(fl_l, fo_l[:-1], fo_l[1:]),
+            fp_r=(fl_r, fo_r[:-1], fo_r[1:]),
+            cap_l=(cb_l, co_l[:-1], co_l[1:]),
+            cap_r=(cb_r, co_r[:-1], co_r[1:]),
+        )
+        return _emit(batch, v)
+
+    return attached.map_batches(kernel, batch_format="pyarrow",
+                                batch_size=8192)
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:

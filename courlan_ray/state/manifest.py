@@ -29,14 +29,15 @@ from dataclasses import asdict
 
 from ..config import DedupConfig
 
-# config fields that affect each stage's OUTPUT (cumulative downstream)
+# config fields that affect each stage's OUTPUT (cumulative downstream).
+# "sigtable" is the fused canonicalize+signatures traversal
+# (pipelines/image_dedup.py), so it owns both gate and signature fields.
 STAGE_FIELDS: dict[str, tuple[str, ...]] = {
-    "canonicalize": ("strict", "language", "min_caption_len",
-                     "max_caption_len", "allowed_formats", "min_dim",
-                     "max_dim"),
+    "sigtable": ("strict", "language", "min_caption_len",
+                 "max_caption_len", "allowed_formats", "min_dim", "max_dim",
+                 "shingle_width", "num_perm", "seed", "fingerprint_k",
+                 "fingerprint_window", "channels"),
     "exact_edges": ("seed",),
-    "signatures": ("shingle_width", "num_perm", "seed", "fingerprint_k",
-                   "fingerprint_window", "channels"),
     "candidates": ("bands", "phash_bands", "num_salts", "weak_bucket_cap"),
     "verified_pairs": ("jaccard_threshold", "hamming_threshold",
                        "simhash_hamming_threshold", "substring_min_ratio"),

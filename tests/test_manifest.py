@@ -35,7 +35,7 @@ def test_resume_skips_completed_stages(synth_path, tmp_path):
     root = str(tmp_path / "ck")
     c1, ck1 = _run(synth_path, root, cfg)
     statuses1 = {r["stage"]: r["status"] for r in ck1.records()}
-    assert statuses1 == {"exact_edges": "computed", "signatures": "computed",
+    assert statuses1 == {"exact_edges": "computed", "sigtable": "computed",
                          "candidates": "computed", "verified_pairs": "computed"}
 
     c2, ck2 = _run(synth_path, root, cfg)
@@ -50,14 +50,14 @@ def test_config_change_invalidates_downstream_only(synth_path, tmp_path):
     root = str(tmp_path / "ck")
     _run(synth_path, root, cfg)
 
-    # loosen a verification threshold: signatures/candidates hit cache,
+    # loosen a verification threshold: sigtable/candidates hit cache,
     # verified_pairs recomputes
     cfg2 = dataclasses.replace(cfg, jaccard_threshold=0.7)
     _, ck2 = _run(synth_path, root, cfg2)
     n2 = len(ck2.records())
     statuses = {r["stage"]: r["status"] for r in ck2.records()[4:]}
     assert statuses["exact_edges"] == "skipped"
-    assert statuses["signatures"] == "skipped"
+    assert statuses["sigtable"] == "skipped"
     assert statuses["candidates"] == "skipped"
     assert statuses["verified_pairs"] == "computed"
 
@@ -65,7 +65,7 @@ def test_config_change_invalidates_downstream_only(synth_path, tmp_path):
     cfg3 = dataclasses.replace(cfg, num_perm=64, bands=16)
     _, ck3 = _run(synth_path, root, cfg3)
     statuses = {r["stage"]: r["status"] for r in ck3.records()[n2:]}
-    assert statuses["signatures"] == "computed"
+    assert statuses["sigtable"] == "computed"
     assert statuses["candidates"] == "computed"
     assert statuses["verified_pairs"] == "computed"
 
@@ -83,7 +83,7 @@ def test_mid_run_kill_resume(synth_path, tmp_path):
     c2, ck2 = _run(synth_path, root, cfg)
     statuses = {r["stage"]: r["status"] for r in ck2.records()[4:]}
     assert statuses["exact_edges"] == "skipped"
-    assert statuses["signatures"] == "skipped"
+    assert statuses["sigtable"] == "skipped"
     assert statuses["candidates"] == "computed"
     assert statuses["verified_pairs"] == "computed"
     assert c1.equals(c2)
