@@ -124,26 +124,83 @@ def minhash_signatures(shingle_hashes: np.ndarray, counts: np.ndarray,
     np.cumsum(counts[:-1], out=offsets[1:])
     salts = splitmix64(np.arange(num_perm, dtype=_U64) + _U64(seed & 0xFFFFFFFFFFFFFFFF))
     h = shingle_hashes.astype(_U64, copy=False)
-    for k in range(num_perm):
-        permuted = splitmix64(h ^ salts[k])
-        out[:, k] = np.minimum.reduceat(permuted, offsets)
+    # cache-resident tiling + in-place mixing: the naive
+    # splitmix64(h ^ salt) allocates ~6 stream-sized temporaries per
+    # permutation, and at num_perm=128 the stage becomes memory-bandwidth
+    # bound at full node parallelism.  Tiles of <= _TILE_ELEMS shingle
+    # hashes stay in L2 across all permutations (one DRAM read of the
+    # stream total), and the two work buffers are reused in place.
+    # Bit-identical to the naive formulation.
+    total = h.shape[0]
+    buf = np.empty(min(total, _TILE_ELEMS) if total else 0, dtype=_U64)
+    tmp = np.empty_like(buf)
+    with np.errstate(over="ignore"):
+        d0 = 0                            # first doc of the tile
+        while d0 < n:
+            d1 = d0
+            s0 = offsets[d0]
+            # extend the tile doc-aligned while it fits
+            while d1 < n and (offsets[d1] + counts[d1] - s0) <= _TILE_ELEMS:
+                d1 += 1
+            d1 = max(d1, d0 + 1)          # a doc longer than the tile
+            s1 = offsets[d1] if d1 < n else total
+            m = s1 - s0
+            hc = h[s0:s1]
+            b = buf[:m] if m <= buf.shape[0] else np.empty(m, dtype=_U64)
+            t = tmp[:m] if m <= tmp.shape[0] else np.empty(m, dtype=_U64)
+            off_local = offsets[d0:d1] - s0
+            for k in range(num_perm):
+                np.bitwise_xor(hc, salts[k], out=b)
+                b += _U64(0x9E3779B97F4A7C15)
+                np.right_shift(b, _U64(30), out=t)
+                np.bitwise_xor(b, t, out=b)
+                b *= _U64(0xBF58476D1CE4E5B9)
+                np.right_shift(b, _U64(27), out=t)
+                np.bitwise_xor(b, t, out=b)
+                b *= _U64(0x94D049BB133111EB)
+                np.right_shift(b, _U64(31), out=t)
+                np.bitwise_xor(b, t, out=b)
+                out[d0:d1, k] = np.minimum.reduceat(b, off_local)
+            d0 = d1
     return out
 
 
+_TILE_ELEMS = 48_000          # 48k u64 = 375 KB x2 buffers: L2-resident
+
+
 def simhash64(shingle_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """64-bit SimHash per document from its shingle hashes (unweighted)."""
+    """64-bit SimHash per document from its shingle hashes (unweighted).
+
+    Tiled like ``minhash_signatures``: per doc-aligned tile, unpack the
+    hash bits once (tile stays cache-resident) and take per-doc column
+    sums via ``add.reduceat`` — instead of 64 full-stream bincounts with
+    float64 weights, which cost ~8x the memory traffic."""
     n = counts.shape[0]
     if n == 0:
         return np.empty(0, dtype=_U64)
-    # bits: (total_shingles, 64) 0/1, little-endian bit order per byte
-    bytes_view = shingle_hashes.astype("<u8").view(np.uint8).reshape(-1, 8)
-    bits = np.unpackbits(bytes_view, axis=1, bitorder="little")
-    doc_idx = np.repeat(np.arange(n), counts)
-    sums = np.empty((n, 64), dtype=np.int64)
-    for j in range(64):        # 64 C-level segment sums (beats 2-D reduceat)
-        sums[:, j] = np.bincount(doc_idx, weights=bits[:, j], minlength=n)
-    majority = (sums * 2 > counts[:, None]).astype(np.uint8)
-    return np.packbits(majority, axis=1, bitorder="little").view("<u8").ravel().astype(_U64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    total = shingle_hashes.shape[0]
+    out = np.empty(n, dtype=_U64)
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        s0 = offsets[d0]
+        while d1 < n and (offsets[d1] + counts[d1] - s0) <= _TILE_ELEMS:
+            d1 += 1
+        d1 = max(d1, d0 + 1)
+        s1 = offsets[d1] if d1 < n else total
+        bytes_view = shingle_hashes[s0:s1].astype("<u8").view(np.uint8) \
+            .reshape(-1, 8)
+        bits = np.unpackbits(bytes_view, axis=1, bitorder="little")
+        sums = np.add.reduceat(bits.astype(np.uint16), offsets[d0:d1] - s0,
+                               axis=0)
+        majority = (sums.astype(np.int64) * 2
+                    > counts[d0:d1, None]).astype(np.uint8)
+        out[d0:d1] = np.packbits(majority, axis=1,
+                                 bitorder="little").view("<u8").ravel()
+        d0 = d1
+    return out
 
 
 _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)

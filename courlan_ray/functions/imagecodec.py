@@ -104,24 +104,63 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
-def _resize_gray_32(arr: np.ndarray) -> np.ndarray:
-    """Area-style resample of an (h, w[, 3]) image to 32x32 float gray."""
+def _resize_gray_32(arr: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """Area-style resample of an (h, w[, 3]) image to 32x32 float gray.
+
+    ``dtype=np.float32`` halves the memory traffic of the gray conversion
+    and the integral image — the hot path of the signature actor is
+    memory-bandwidth-bound at full node parallelism, so the batched
+    pipeline uses float32 (identical determinism; float64 stays the
+    default for the public single-image ``phash64`` API)."""
     if arr.ndim == 3:
-        gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        gray = arr.astype(dtype) @ np.array([0.299, 0.587, 0.114], dtype=dtype)
     else:
-        gray = arr.astype(np.float64)
+        gray = arr.astype(dtype)
     h, w = gray.shape
     ys = (np.arange(32) * h) // 32
     xs = (np.arange(32) * w) // 32
     ye = np.maximum(((np.arange(32) + 1) * h) // 32, ys + 1)
     xe = np.maximum(((np.arange(32) + 1) * w) // 32, xs + 1)
     # integral image -> O(1) area means
-    ii = np.zeros((h + 1, w + 1))
-    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ii = np.zeros((h + 1, w + 1), dtype=dtype)
+    np.cumsum(gray, axis=0, out=gray)
+    np.cumsum(gray, axis=1, out=ii[1:, 1:])
     area = (ii[ye[:, None], xe[None, :]] - ii[ys[:, None], xe[None, :]]
             - ii[ye[:, None], xs[None, :]] + ii[ys[:, None], xs[None, :]])
     cnt = (ye - ys)[:, None] * (xe - xs)[None, :]
     return area / cnt
+
+
+def gray32_area_f32(arr: np.ndarray) -> np.ndarray:
+    """Fast 32x32 float32 gray area-resample for the batched signature path.
+
+    Two ``np.add.reduceat`` passes over the raw uint8 pixels (row blocks,
+    then column blocks) and one tiny 32x32x3 gray matmul — ~10x less
+    memory traffic than grayscale-then-integral-image, which matters
+    because the signature actor pool is DRAM-bandwidth-bound at full node
+    parallelism.  Same block boundaries as ``_resize_gray_32`` (float32
+    rounding differs in the last bits; hash thresholds are robust to it).
+    """
+    h, w = arr.shape[:2]
+    w32 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    if h % 32 == 0 and w % 32 == 0:
+        # uniform blocks: strided reshape-mean, fastest path
+        g = arr.astype(np.float32) @ w32 if arr.ndim == 3 \
+            else arr.astype(np.float32)
+        return g.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    ye = np.maximum(((np.arange(32) + 1) * h) // 32, ys + 1)
+    xe = np.maximum(((np.arange(32) + 1) * w) // 32, xs + 1)
+    t1 = np.add.reduceat(arr, ys, axis=0, dtype=np.float32)
+    t2 = np.add.reduceat(t1, xs, axis=1)
+    if arr.ndim == 3:
+        t2 = t2 @ w32
+    cnt = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(np.float32)
+    # reduceat block i sums [ys[i], ys[i+1]) (last to end) == [ys, ye) when
+    # boundaries are monotone non-overlapping, which ys/xs construction
+    # guarantees except for clamped 1-px blocks; normalize by true counts
+    return t2 / cnt
 
 
 def phash64(arr: np.ndarray) -> int:

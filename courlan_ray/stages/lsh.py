@@ -149,7 +149,9 @@ def _local_stars(b: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     Output rows, tagged ``is_rep``:
       edges (is_rep=False): bucket, ch, image_id=member, partner=local rep
-      reps  (is_rep=True):  bucket, salt, ch, image_id=local min, cnt
+      reps  (is_rep=True):  bucket, salt, ch, image_id=local min, cnt,
+                            idh = 64-bit hash of the rep id (so the level-2
+                            link never sorts or aggregates strings)
     """
     rows = banding_rows(b, cfg)
     empty = pa.table({"bucket": pa.array([], pa.int64()),
@@ -158,6 +160,7 @@ def _local_stars(b: pa.Table, cfg: DedupConfig) -> pa.Table:
                       "image_id": pa.array([], pa.string()),
                       "partner": pa.array([], pa.string()),
                       "cnt": pa.array([], pa.int64()),
+                      "idh": pa.array([], pa.int64()),
                       "is_rep": pa.array([], pa.bool_())})
     if rows.num_rows == 0:
         return empty
@@ -178,43 +181,72 @@ def _local_stars(b: pa.Table, cfg: DedupConfig) -> pa.Table:
         "image_id": f["image_id"],
         "partner": reps_for_rows.filter(edge_mask),
         "cnt": pa.array(np.ones(nf, dtype=np.int64)),
+        "idh": pa.array(np.zeros(nf, dtype=np.int64)),
         "is_rep": pa.array(np.zeros(nf, dtype=bool)),
     })
+    rep_idh = hash_strings(agg["image_id_min"].to_pylist(),
+                           seed=0x1D44).view(np.int64)
     reps = pa.table({
         "bucket": agg["bucket"], "salt": agg["salt"], "ch": agg["ch_min"],
         "image_id": agg["image_id_min"], "partner": agg["image_id_min"],
         "cnt": agg["image_id_count"],
+        "idh": pa.array(rep_idh, pa.int64()),
         "is_rep": pa.array(np.ones(na, dtype=bool)),
     })
     return pa.concat_tables([edges, reps])
 
 
 def _link_reps(tbl: pa.Table, cap: int) -> tuple[pa.Table, np.ndarray]:
-    """Level 2 core: link rep rows per bucket (global min -> each local rep)
+    """Level 2 core: link rep rows per bucket (one hub -> each local rep)
     and find noisy weak-channel buckets (total members > cap).
 
+    The hub is the member with the smallest ``idh`` (deterministic,
+    order-free) — connectivity does not care which member hubs, so the
+    link runs entirely on numeric columns: ONE lexsort by (bucket, idh),
+    group boundaries by diff, totals by ``add.reduceat``.  No string
+    sorting/aggregation (measured 5-10x faster than a pyarrow string-min
+    group_by at millions of rows).  Used both on the driver (small) and
+    inside each hash-shuffle partition (scale path).
+
     Returns (edge table (bucket, ch, left_id, right_id), noisy bucket
-    int64 array).  Pure vectorized pyarrow/numpy — used both on the driver
-    (small) and inside each hash-shuffle partition (scale path)."""
+    int64 array)."""
     empty = pa.table({"bucket": pa.array([], pa.int64()),
                       "ch": pa.array([], pa.int8()),
                       "left_id": pa.array([], pa.string()),
                       "right_id": pa.array([], pa.string())})
-    if tbl.num_rows == 0:
+    n = tbl.num_rows
+    if n == 0:
         return empty, np.empty(0, dtype=np.int64)
-    agg = tbl.group_by("bucket").aggregate(
-        [("image_id", "min"), ("cnt", "sum"), ("ch", "min")])
-    pos = _group_pos(tbl["bucket"].to_numpy(zero_copy_only=False),
-                     agg["bucket"].to_numpy(zero_copy_only=False))
-    rep = agg["image_id_min"].take(pa.array(pos, pa.int64()))
-    mask = pc.not_equal(tbl["image_id"], rep)
-    f = tbl.filter(mask)
-    edges = pa.table({"bucket": f["bucket"], "ch": f["ch"],
-                      "left_id": rep.filter(mask),
-                      "right_id": f["image_id"]})
-    noisy_mask = (agg["cnt_sum"].to_numpy(zero_copy_only=False) > cap) \
-        & (agg["ch_min"].to_numpy(zero_copy_only=False) != CH_MINHASH)
-    noisy = agg["bucket"].to_numpy(zero_copy_only=False)[noisy_mask]
+    tbl = tbl.combine_chunks()
+    bucket = tbl["bucket"].to_numpy(zero_copy_only=False)
+    idh = tbl["idh"].to_numpy(zero_copy_only=False).view(_U64)
+    cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+    ch = tbl["ch"].to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((idh, bucket))
+    bs = bucket[order]
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(bs[1:], bs[:-1], out=first[1:])
+    gid = np.cumsum(first) - 1                 # group index per sorted row
+    starts = np.flatnonzero(first)             # sorted-space group starts
+    rep_orig = order[starts]                   # original row of each hub
+
+    member_mask = ~first
+    member_orig = order[member_mask]
+    rep_of_member = rep_orig[gid[member_mask]]
+    ids = tbl["image_id"].combine_chunks() if isinstance(tbl["image_id"],
+                                                         pa.ChunkedArray) \
+        else tbl["image_id"]
+    edges = pa.table({
+        "bucket": pa.array(bucket[member_orig], pa.int64()),
+        "ch": pa.array(ch[member_orig], pa.int8()),
+        "left_id": ids.take(pa.array(rep_of_member, pa.int64())),
+        "right_id": ids.take(pa.array(member_orig, pa.int64())),
+    })
+    totals = np.add.reduceat(cnt[order], starts)
+    noisy_mask = (totals > cap) & (ch[rep_orig] != CH_MINHASH)
+    noisy = bucket[rep_orig][noisy_mask]
     return edges, noisy.astype(np.int64)
 
 
@@ -226,7 +258,6 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     first."""
     import ray
     import ray.data as rd
-    from .agg import grouped_agg
     from .joins import _collect, join_partitions
 
     st1 = sig_ds.map_batches(lambda b: _local_stars(b, cfg),
@@ -238,10 +269,15 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     n_reps = reps.count()
     cap = cfg.weak_bucket_cap
     if n_reps <= cfg.lsh_driver_link_max:
-        tbl = _collect(reps.select_columns(["bucket", "ch", "image_id", "cnt"]))
+        tbl = _collect(reps.select_columns(
+            ["bucket", "ch", "image_id", "cnt", "idh"]))
         e2_tbl, noisy = _link_reps(tbl, cap)
-        edges2 = rd.from_arrow(e2_tbl.select(["bucket", "ch",
-                                              "left_id", "right_id"]))
+        e2_tbl = e2_tbl.select(["bucket", "ch", "left_id", "right_id"])
+        # split into multiple blocks so downstream finalize fans out
+        chunk = 200_000
+        slices = [e2_tbl.slice(i, chunk)
+                  for i in range(0, max(e2_tbl.num_rows, 1), chunk)]
+        edges2 = rd.from_arrow(slices)
         noisy_list = [noisy]
     else:
         # scale path: co-locate each bucket via keyed hash shuffle, link
@@ -262,7 +298,7 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
                 "is_noise", pa.array(np.zeros(edges.num_rows, dtype=bool)))
             return pa.concat_tables([edges, marker])
 
-        linked = (reps.select_columns(["bucket", "ch", "image_id", "cnt"])
+        linked = (reps.select_columns(["bucket", "ch", "image_id", "cnt", "idh"])
                   .repartition(parts, keys=["bucket"])
                   .map_batches(link_block, batch_format="pyarrow",
                                batch_size=None).materialize())
@@ -301,10 +337,11 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     canonical = e1.union(edges2).map_batches(finalize, batch_format="pyarrow")
 
     # raw edge count (pre-dedup) bounds the distinct-key cardinality, so the
-    # aggregation mode is declared, not guessed (the lazy-auto trap fix)
+    # dedup mode is declared, not guessed (the lazy-auto trap fix).  Rows
+    # with the same pair_key carry identical id strings, so first-per-key
+    # distinct == the aggregation, without any string aggregation.
+    from .agg import distinct_by_key
     approx_edges = st1.count()
-    distinct = grouped_agg(canonical, ["pair_key"],
-                           [("left_id", "min", "left_id"),
-                            ("right_id", "min", "right_id")],
-                           approx_count=approx_edges)
+    distinct = distinct_by_key(canonical, "pair_key",
+                               approx_count=approx_edges)
     return distinct.drop_columns(["pair_key"])

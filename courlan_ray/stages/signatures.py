@@ -75,15 +75,15 @@ def pixel_hashes_batch(payloads: list) -> tuple[np.ndarray, np.ndarray, np.ndarr
     grays = []
     for i, p in enumerate(payloads):
         try:
-            grays.append(codec._resize_gray_32(codec.decode_image(p)))
+            grays.append(codec.gray32_area_f32(codec.decode_image(p)))
             ok[i] = True
         except codec.CodecError:
             pass
     phash = np.zeros(n, dtype=_U64)
     simpix = np.zeros(n, dtype=_U64)
     if grays:
-        G = np.stack(grays)                               # (m, 32, 32)
-        D = codec._DCT32
+        G = np.stack(grays)                               # (m, 32, 32) f32
+        D = codec._DCT32.astype(np.float32)
         C = D[None] @ G @ D.T[None]                       # batched 2-D DCT
         vals = C[:, :8, :8].reshape(len(grays), 64)[:, 1:]  # drop DC
         med = np.median(vals, axis=1, keepdims=True)
