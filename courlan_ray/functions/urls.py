@@ -114,8 +114,14 @@ _TWO_LABEL_SUFFIXES = frozenset(
     "co.id or.id ac.id web.id com.vn net.vn org.vn com.ph net.ph org.ph "
     "github.io gitlab.io blogspot.com wordpress.com".split())
 
+# generic second-level labels that mark a three-label registered domain
+# under ccTLDs absent from the compact table above (e.g. com.bd, org.pk)
+_GENERIC_SLD_LABELS = frozenset(
+    "com org net gov edu mil ac co or ne go".split())
+
 _SCHEME_RE = re.compile(r"https?://", re.I)
-_MARKUP_REST_RE = re.compile(r"</?[a-z]{1,4}?>|\{.+?\}")
+_MARKUP_REST_RE = re.compile(r"</?[a-z]{0,4}?>|\{.+?\}")   # {0,4}: '<>' too
+                                                           # (clean.py:22)
 _FIRST_URL_RE = re.compile(r'(https?://[^">&? ]+?)(?:https?://)')
 _INNER_URL_RE = re.compile(r"https?://.+?(https?://.+?)(?:https?://|$)")
 _BAD_TAIL_RE = re.compile(r'(.*?)[<>"\s]')
@@ -268,9 +274,12 @@ def lang_filter(url: str, language: str | None = None, strict: bool = False,
         occurrences = finder.findall(url)
         if len(occurrences) == 1:
             score = langcodes_score(language, first[1], score)
-        elif len(occurrences) == 2:
-            for seg in occurrences:
-                score = langcodes_score(language, seg, score)
+        # 2 occurrences: the reference scores NOTHING here — its
+        # ALL_PATH_LANGS.findall yields (lang, suffix) tuples which
+        # babel's Locale.parse rejects with TypeError, silently swallowed
+        # in langcodes_score (filters.py:188-189), so the score stays 0
+        # and the URL is kept.  Mirrored deliberately for strict parity
+        # (e.g. '/de/page/fr/' with language='en' is KEPT).
         # 3+ candidates: ambiguous, no scoring
     if strict:
         host = _HOST_LANG_RE.match(url)
@@ -422,7 +431,14 @@ def get_tldinfo(url: str, fast: bool = False) -> tuple[str | None, str | None]:
     if not host or "." not in host:
         return None, None
     labels = host.split(".")
-    if len(labels) >= 3 and ".".join(labels[-2:]) in _TWO_LABEL_SUFFIXES:
+    if len(labels) >= 3 and (
+            ".".join(labels[-2:]) in _TWO_LABEL_SUFFIXES
+            # generic second-level label under a ccTLD missing from the
+            # compact suffix table (e.g. example.com.bd): the reference's
+            # tld library registers three labels; without this fallback
+            # unrelated hosts would share one "registered domain"
+            or (labels[-2] in _GENERIC_SLD_LABELS and len(labels[-1]) == 2
+                and labels[-1].isalpha())):
         registered = ".".join(labels[-3:])
     else:
         registered = ".".join(labels[-2:])
@@ -517,19 +533,30 @@ def is_known_link(link: str, known_links: set[str]) -> bool:
 
 def check_url(url: str, strict: bool = False, with_redirects: bool = False,
               language: str | None = None, with_nav: bool = False,
-              trailing_slash: bool = True) -> tuple[str, str] | None:
+              trailing_slash: bool = True,
+              blacklist: set[str] | None = None,
+              redirect_resolver=None) -> tuple[str, str] | None:
     """Flagship per-record chain (cf. core.py:39-129): basic -> scrub ->
-    type -> lang -> validate -> extension -> domain -> (strict path) ->
-    normalize -> extract_domain; None on any failure.  ``with_redirects``
-    is accepted for API parity but unsupported offline (raises)."""
+    (redirect) -> type -> lang -> validate -> extension -> domain ->
+    (strict path) -> normalize -> extract_domain; None on any failure.
+
+    Strict mode applies the shipped domain ``BLACKLIST``
+    (settings.py; reference core.py:115-119) — pass ``blacklist`` to
+    override it (empty set disables).  ``with_redirects`` needs a
+    resolver: pass ``redirect_resolver`` (a callable ``url -> final_url``
+    raising on failure — see ``stages.redirects.RedirectResolver`` for
+    the actor-pool stage with an injectable fetcher); without one it
+    raises, since this engine ships no network client
+    (reference network.py:47-72)."""
     try:
         if not basic_filter(url):
             return None
         url = scrub_url(url)
         if with_redirects:
-            raise NotImplementedError(
-                "network redirect resolution is not available in this "
-                "offline engine; run a RedirectResolver actor pool stage")
+            if redirect_resolver is None:
+                from ..stages.redirects import redirection_test
+                redirect_resolver = redirection_test
+            url = redirect_resolver(url)
         if not type_filter(url, strict=strict, with_nav=with_nav):
             return None
         if language is not None and not lang_filter(url, language, strict,
@@ -545,7 +572,12 @@ def check_url(url: str, strict: bool = False, with_redirects: bool = False,
         if strict and not path_filter(parts.path, parts.query):
             return None
         url = normalize_url(parts, strict, language, trailing_slash)
-        domain = extract_domain(url, fast=True)
+        if strict:
+            from ..settings import BLACKLIST
+            bl = BLACKLIST if blacklist is None else blacklist
+            domain = extract_domain(url, blacklist=bl, fast=True)
+        else:
+            domain = extract_domain(url, blacklist=blacklist, fast=True)
         if domain is None:
             return None
         return url, domain

@@ -215,7 +215,10 @@ def synth_parquet(n: int, seed: int = 42, root: str = "/tmp/courlan_ray_synth",
     if not os.path.exists(done):
         import shutil
         shutil.rmtree(out, ignore_errors=True)
-        synth_dataset(n, seed, batch_size=batch_size).write_parquet(out)
+        # many small files: read parallelism should never be capped by the
+        # file count (16 files would cap a 32-CPU read at 16 tasks)
+        synth_dataset(n, seed, batch_size=batch_size).write_parquet(
+            out, min_rows_per_file=batch_size, max_rows_per_file=batch_size)
         with open(done, "w") as fh:
             fh.write("ok")
     return out
