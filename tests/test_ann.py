@@ -1,0 +1,79 @@
+"""Similarity-search stages: planted-truth checks for the scale paths
+(VERDICT round 1 #4: no driver-side candidate materialization)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from courlan_ray.config import DedupConfig
+
+
+def _corpus(n=400, dim=32, n_dup=25, seed=11):
+    """Random unit vectors + planted near-duplicates (cos >= ~0.99)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:n_dup] + 0.02 * rng.standard_normal((n_dup, dim))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    vecs = np.vstack([base, dups])
+    ids = [f"v{i:04d}" for i in range(n)] + [f"d{i:04d}" for i in range(n_dup)]
+    return ids, vecs
+
+
+def _ds(ids, vecs):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))}))
+
+
+def test_knn_bruteforce_exact():
+    from courlan_ray.stages.ann import knn_bruteforce
+    ids, vecs = _corpus()
+    ds = _ds(ids, vecs)
+    q = vecs[:3]
+    out = knn_bruteforce(ds, q, 5).to_pandas()
+    # each query's own vector is its top hit with sim ~1
+    top = out.sort_values(["query_idx", "cos_sim"], ascending=[True, False]) \
+             .groupby("query_idx").head(1)
+    assert list(top["vec_id"]) == ["v0000", "v0001", "v0002"]
+    assert (top["cos_sim"] > 0.999).all()
+
+
+def test_ann_lsh_recall_vs_exact():
+    from courlan_ray.stages.ann import ann_lsh, knn_bruteforce
+    ids, vecs = _corpus()
+    ds = _ds(ids, vecs)
+    q = vecs[:8]
+    exact = knn_bruteforce(ds, q, 3).to_pandas()
+    approx = ann_lsh(ds, q, 3, bits=8, n_probes=4).to_pandas()
+    e = exact.groupby("query_idx")["vec_id"].apply(set)
+    a = approx.groupby("query_idx")["vec_id"].apply(set)
+    recall = np.mean([len(a.get(i, set()) & e[i]) / len(e[i])
+                      for i in e.index])
+    # multi-probe LSH over a small corpus: the true near-dup neighbors
+    # dominate; recall of top-3 should be high
+    assert recall >= 0.6
+    # every returned sim must be exact (verification is exact cosine)
+    merged = approx.merge(exact, on=["query_idx", "vec_id"],
+                          suffixes=("_a", "_e"))
+    assert np.allclose(merged["cos_sim_a"], merged["cos_sim_e"])
+
+
+def test_embedding_neardup_finds_planted_pairs():
+    from courlan_ray.stages.ann import embedding_neardup_pairs
+    ids, vecs = _corpus()
+    ds = _ds(ids, vecs)
+    out = embedding_neardup_pairs(ds, DedupConfig(), threshold=0.95,
+                                  bits=6).to_pandas()
+    found = {tuple(sorted(p)) for p in out[["left_id", "right_id"]].values}
+    want = {(f"d{i:04d}", f"v{i:04d}") for i in range(25)}
+    # hyperplane bucketing at 6 bits: planted pair co-bucket probability
+    # ~(1-theta/pi)^6 ~ 0.85; majority must be found, none invented
+    assert len(found & want) >= 15
+    # and every reported pair is a true >= threshold pair (exact verify)
+    M = {i: v for i, v in zip(ids, vecs)}
+    for l, r in found:
+        assert float(np.dot(M[l], M[r])) >= 0.95 - 1e-9
