@@ -59,6 +59,13 @@ def run_bench() -> dict:
     n_clustered = out["clusters"].count()
     headline = time.time() - t0
 
+    # dup-pair recall vs planted truth (untimed; the >=0.99 north-star bar)
+    from courlan_ray.pipelines.image_dedup import pair_recall
+    from courlan_ray.sources.synth import truth_tables
+    from courlan_ray.stages.joins import _collect
+    truth_pairs, _ = truth_tables(n_rows, 42)
+    recall = round(pair_recall(_collect(out["clusters"]), truth_pairs), 5)
+
     # --- representative per-query timings over the sf tables ---
     timings: dict[str, float] = {}
     if os.environ.get("RAY_GRAFT_SKIP_QUERIES"):
@@ -66,7 +73,7 @@ def run_bench() -> dict:
             "metric": "image dedup end-to-end sec",
             "value": round(headline, 3), "unit": "sec", "queries": {},
             "sf": _sf(SF_DIR), "num_cpus": NCPU, "rows": n_rows,
-            "rows_clustered": n_clustered,
+            "rows_clustered": n_clustered, "recall": recall,
             "images_per_sec": round(n_rows / headline, 1),
         }
     for name in ("doc_normalize", "doc_exact_dedup", "q1_lineitem",
@@ -92,6 +99,7 @@ def run_bench() -> dict:
         "num_cpus": NCPU,
         "rows": n_rows,
         "rows_clustered": n_clustered,
+        "recall": recall,
         "images_per_sec": round(n_rows / headline, 1),
     }
 
@@ -123,6 +131,7 @@ def run_scaling() -> dict:
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
         "images_per_sec_8": tp_lo, "images_per_sec_32": tp_hi,
         "scaling_efficiency": round(eff, 3),
+        "recall": r_hi.get("recall"),
         "sf": r_lo["sf"], "rows": r_lo["rows"],
     }
 

@@ -59,11 +59,18 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
     stages are skipped on resume.
     """
     ck = checkpoint
+    import os, sys, time
+    prof = bool(os.environ.get("COURLAN_RAY_PROFILE"))
 
     def stage(name, make):
+        t0 = time.time()
         if ck is None:
-            return make().materialize()
-        return ck.run(name, make)
+            out = make().materialize()
+        else:
+            out = ck.run(name, make)
+        if prof:
+            print(f"[stage] {name}: {time.time()-t0:.2f}s", file=sys.stderr)
+        return out
 
     # ONE traversal of the wide payload: gates + all signatures fused into
     # the actor pool; output is the narrow per-row signature table
@@ -87,7 +94,10 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
     edges = verified.select_columns(["left_id", "right_id"]).union(
         keyed_edges.select_columns(["left_id", "right_id"]))
 
+    t0 = time.time()
     comp = connected_components(edges, cfg)
+    if prof:
+        print(f"[stage] components: {time.time()-t0:.2f}s", file=sys.stderr)
     all_ids = valid.select_columns(["image_id"])
     assigned = assign_clusters(all_ids, comp, cfg)
     clusters = cluster_representatives(assigned, cfg)

@@ -50,11 +50,22 @@ def driver_union_find(edges: pd.DataFrame) -> pd.DataFrame:
                          "cluster_id": [find(x) for x in nodes]})
 
 
-def distributed_components(edges_ds, cfg: DedupConfig):
-    """Min-label propagation entirely in Ray Data.  Returns a Dataset
-    (image_id, cluster_id) covering every node appearing in edges."""
-    import ray.data as rd
+def distributed_components(edges_ds, cfg: DedupConfig,
+                           approx_nodes: int | None = None):
+    """Min-label propagation + pointer jumping entirely in Ray Data.
+    Returns a Dataset (image_id, cluster_id) covering every node appearing
+    in edges.
+
+    Each round does (a) neighbor min-propagation and (b) a pointer-jump
+    shortcut (label <- label's label), so convergence is O(log diameter)
+    rounds, not O(diameter) — chain-shaped substring clusters deeper than
+    ``cfg.cc_max_rounds`` still converge (ADVICE round 1 #3).
+    ``approx_nodes`` (an upper bound on the node count) routes the label
+    aggregations to the keyed-shuffle path when the key space exceeds the
+    combine tree's single-task capacity."""
+    import pyarrow.compute as pc
     from .agg import grouped_agg
+    from .joins import attach_by_key
 
     def symmetric(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -65,21 +76,39 @@ def distributed_components(edges_ds, cfg: DedupConfig):
         })
 
     sym = edges_ds.map_batches(symmetric, batch_format="pyarrow").materialize()
+    if approx_nodes is None:
+        approx_nodes = sym.count()       # 2 * edges >= node count
+
+    def min_label(ds):
+        return grouped_agg(ds, ["image_id"], [("label", "min", "label")],
+                           approx_count=approx_nodes)
+
+    def pointer_jump(labels):
+        # label <- label[label]: every label IS a node id, so the lookup
+        # table is labels itself re-keyed by image_id
+        parents = labels.map_batches(
+            lambda b: pa.table({"label": b["image_id"],
+                                "parent": b["label"]}),
+            batch_format="pyarrow")
+        j = attach_by_key(labels, parents, ["label"],
+                          num_partitions=cfg.shuffle_partitions, how="left")
+        return j.map_batches(
+            lambda b: pa.table({
+                "image_id": b["image_id"],
+                "label": pc.coalesce(b["parent"], b["label"])}),
+            batch_format="pyarrow")
 
     # labels: min neighbor vs self per node
-    labels = grouped_agg(
-        sym.map_batches(
-            lambda b: pa.table({"image_id": b["image_id"], "label": b["nbr"]}),
-            batch_format="pyarrow"),
-        ["image_id"], [("label", "min", "label")])
+    labels = min_label(sym.map_batches(
+        lambda b: pa.table({"image_id": b["image_id"], "label": b["nbr"]}),
+        batch_format="pyarrow"))
     labels = labels.map_batches(
         lambda b: pa.table({
             "image_id": b["image_id"],
-            "label": pa.compute.min_element_wise(b["label"], b["image_id"])}),
+            "label": pc.min_element_wise(b["label"], b["image_id"])}),
         batch_format="pyarrow").materialize()
 
-    from .joins import attach_by_key
-
+    converged = False
     for _round in range(cfg.cc_max_rounds):
         # propagate: node label flows to each neighbor, take min with own
         prop = attach_by_key(sym, labels, ["image_id"],
@@ -88,14 +117,20 @@ def distributed_components(edges_ds, cfg: DedupConfig):
             lambda b: pa.table({"image_id": b["nbr"], "label": b["label"]}),
             batch_format="pyarrow")
         merged = cand.union(labels.select_columns(["image_id", "label"]))
-        new_labels = grouped_agg(merged, ["image_id"],
-                                 [("label", "min", "label")]).materialize()
+        new_labels = pointer_jump(min_label(merged)).materialize()
 
         # fixpoint check: total label hash invariant under convergence
         changed = _label_digest(new_labels) != _label_digest(labels)
         labels = new_labels
         if not changed:
+            converged = True
             break
+    if not converged:
+        import logging
+        logging.getLogger(__name__).warning(
+            "distributed_components: digest fixpoint NOT reached after %d "
+            "rounds — labels may be under-merged (components split); raise "
+            "cfg.cc_max_rounds", cfg.cc_max_rounds)
     return labels.rename_columns({"label": "cluster_id"})
 
 
@@ -126,7 +161,7 @@ def connected_components(edges_ds, cfg: DedupConfig):
         tbl = _collect(edges_ds.select_columns(["left_id", "right_id"]))
         out = driver_union_find(tbl.to_pandas())
         return rd.from_pandas(out)
-    return distributed_components(edges_ds, cfg)
+    return distributed_components(edges_ds, cfg, approx_nodes=2 * n_edges)
 
 
 def assign_clusters(all_ids_ds, components_ds, cfg: DedupConfig):

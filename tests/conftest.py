@@ -1,6 +1,11 @@
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale test (50k-row recall)")
+
+
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
     import ray

@@ -125,3 +125,29 @@ def test_hot_bucket_salting_preserves_connectivity():
     # all 40 rows must land in ONE component despite salting
     assert comp["cluster_id"].nunique() == 1
     assert len(comp) == 40
+
+
+def test_agg_mode_resolution_and_shuffle_path():
+    """VERDICT round 1 #5: a lazy input with declared cardinality above
+    TREE_MAX_GROUPS must route to the keyed-shuffle path, and that path
+    must produce the same result as the tree."""
+    import ray.data as rd
+    from courlan_ray.stages.agg import grouped_agg, resolve_agg_mode
+
+    df = pd.DataFrame({"k": ["a", "b", "a", "c", "b", "a"],
+                       "v": [1, 2, 3, 4, 5, 6]})
+    lazy = rd.from_pandas(df).map_batches(lambda b: b,
+                                          batch_format="pyarrow")
+    # routing contract
+    assert resolve_agg_mode(lazy, approx_count=10**9) == "shuffle"
+    assert resolve_agg_mode(lazy, approx_count=100) == "tree"
+    assert resolve_agg_mode(lazy, approx_count=None) == "tree"
+    big = rd.from_pandas(df).materialize()
+    assert resolve_agg_mode(big, None, tree_max_groups=2) == "shuffle"
+
+    # both paths agree
+    expect = {"a": 1, "b": 2, "c": 4}
+    for mode in ("tree", "shuffle"):
+        out = grouped_agg(lazy, ["k"], [("v", "min", "v_min")], mode=mode)
+        got = {r["k"]: r["v_min"] for r in out.take_all()}
+        assert got == expect, (mode, got)
