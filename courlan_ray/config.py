@@ -62,9 +62,11 @@ class DedupConfig:
     cc_max_rounds: int = 20
 
     # --- size-adaptive small/large switches (execution sizing) ---
-    lsh_driver_link_max: int = 8_000_000   # LSH level-2 rep rows: below ->
+    lsh_driver_link_max: int = 1_000_000   # LSH level-2 rep rows: below ->
                                            # driver-local vectorized link;
                                            # above -> keyed hash-shuffle
+                                           # (driver lexsort+take of multi-M
+                                           # rows is a 10-25 s serial floor)
     verify_broadcast_max: int = 2_000_000  # signature rows: below -> numpy
                                            # broadcast pack; above ->
                                            # partitioned pair<->signature join

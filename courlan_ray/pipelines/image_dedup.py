@@ -34,12 +34,11 @@ import pyarrow as pa
 
 from ..config import DedupConfig, DEFAULT_CONFIG
 from ..stages.canonicalize import reject_counters
-from ..stages.exact_dedup import add_exact_key, exact_dup_edges
+from ..stages.exact_dedup import exact_dup_edges
 from ..stages.signatures import compute_signatures
 from ..stages.lsh import candidate_pairs
 from ..stages.verify import verify_pairs
-from ..stages.components import connected_components, assign_clusters
-from ..stages.sampling import cluster_representatives
+from ..stages.components import cluster_assignments
 
 
 def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
@@ -81,8 +80,8 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
 
     from ..stages.joins import filter_by_keys
 
-    keyed_edges = stage("exact_edges",
-                        lambda: exact_dup_edges(add_exact_key(valid, cfg), cfg))
+    # sigtable already carries exact_key (computed in the signature actor)
+    keyed_edges = stage("exact_edges", lambda: exact_dup_edges(valid, cfg))
     survivors = filter_by_keys(valid, keyed_edges,
                                "image_id", keep=False, keys_col="right_id",
                                num_partitions=cfg.shuffle_partitions)
@@ -95,12 +94,10 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
         keyed_edges.select_columns(["left_id", "right_id"]))
 
     t0 = time.time()
-    comp = connected_components(edges, cfg)
+    all_ids = valid.select_columns(["image_id"])
+    clusters = cluster_assignments(edges, all_ids, cfg)
     if prof:
         print(f"[stage] components: {time.time()-t0:.2f}s", file=sys.stderr)
-    all_ids = valid.select_columns(["image_id"])
-    assigned = assign_clusters(all_ids, comp, cfg)
-    clusters = cluster_representatives(assigned, cfg)
 
     return {
         "clusters": clusters,

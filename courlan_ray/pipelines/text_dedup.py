@@ -15,8 +15,7 @@ from ..config import DedupConfig
 from ..functions.hashing import (char_shingle_hashes, minhash_signatures,
                                  simhash64, winnowing_fingerprints)
 from ..stages.lsh import candidate_pairs
-from ..stages.components import connected_components, assign_clusters
-from ..stages.sampling import cluster_representatives
+from ..stages.components import cluster_assignments
 
 
 class TextSignatureActor:
@@ -58,12 +57,8 @@ class TextSignatureActor:
 
 
 def text_signatures(ds, cfg: DedupConfig, *, id_col="doc_id", text_col="text"):
-    import ray
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    pool = max(1, min(cfg.signature_concurrency, cpus - 2))
+    from ..stages.signatures import _pool_size
+    pool = _pool_size(cfg)
     return ds.map_batches(TextSignatureActor,
                           fn_constructor_args=(cfg, id_col, text_col),
                           batch_format="pyarrow", batch_size=cfg.batch_size,
@@ -85,8 +80,6 @@ def text_dedup_pipeline(ds, cfg: DedupConfig | None = None, *,
     scored = verify_pairs(cands, sigs, cfg).materialize()
     verified = scored.filter(expr="verified == True")
     edges = verified.select_columns(["left_id", "right_id"])
-    comp = connected_components(edges, cfg)
     all_ids = sigs.select_columns(["image_id"])
-    assigned = assign_clusters(all_ids, comp, cfg)
-    clusters = cluster_representatives(assigned, cfg)
+    clusters = cluster_assignments(edges, all_ids, cfg)
     return {"clusters": clusters, "pairs": scored, "signatures": sigs}

@@ -27,27 +27,36 @@ from .joins import _collect
 
 
 def driver_union_find(edges: pd.DataFrame) -> pd.DataFrame:
-    """(left_id, right_id) -> (image_id, cluster_id) for nodes in edges."""
-    parent: dict[str, str] = {}
+    """(left_id, right_id) -> (image_id, cluster_id) for nodes in edges.
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:      # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for l, r in zip(edges["left_id"], edges["right_id"]):
-        rl, rr = find(l), find(r)
-        if rl != rr:
-            # min-root union keeps cluster_id = min id without a second pass
-            lo, hi = (rl, rr) if rl < rr else (rr, rl)
-            parent[hi] = lo
-    nodes = pd.unique(pd.concat([edges["left_id"], edges["right_id"]],
-                                ignore_index=True))
-    return pd.DataFrame({"image_id": nodes,
-                         "cluster_id": [find(x) for x in nodes]})
+    Fully vectorized: ids are factorized to ints sorted so that label
+    order == id order, then min-label flows along edges with
+    ``np.minimum.at`` + pointer-jump compression until fixpoint —
+    O(E * log(diameter)) C-speed passes, no Python per-edge loop
+    (the 1M+-edge driver path was a multi-second serial floor)."""
+    cat = pd.concat([edges["left_id"], edges["right_id"]],
+                    ignore_index=True)
+    codes, uniques = pd.factorize(cat, sort=True)   # sorted: min code=min id
+    m = len(edges)
+    u, v = codes[:m], codes[m:]
+    labels = np.arange(len(uniques), dtype=np.int64)
+    while True:
+        before = labels
+        lu, lv = labels[u], labels[v]
+        mn = np.minimum(lu, lv)
+        labels = labels.copy()
+        np.minimum.at(labels, u, mn)
+        np.minimum.at(labels, v, mn)
+        # pointer-jump until self-stable (few hops; all C-speed)
+        while True:
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        if np.array_equal(labels, before):
+            break
+    return pd.DataFrame({"image_id": uniques,
+                         "cluster_id": uniques.take(labels)})
 
 
 def distributed_components(edges_ds, cfg: DedupConfig,
@@ -162,6 +171,79 @@ def connected_components(edges_ds, cfg: DedupConfig):
         out = driver_union_find(tbl.to_pandas())
         return rd.from_pandas(out)
     return distributed_components(edges_ds, cfg, approx_nodes=2 * n_edges)
+
+
+def cluster_assignments(edges_ds, all_ids_ds, cfg: DedupConfig):
+    """edges + all valid ids -> (image_id, cluster_id, is_representative,
+    cluster_size) in one pass.
+
+    Small-edge path (below ``cfg.driver_cc_max_pairs``): vectorized driver
+    union-find, then ONE broadcast ``map_batches`` emits assignment,
+    representative flag and cluster size together — replacing the
+    assign-join + per-cluster-aggregate + re-join chain (3 stage barriers)
+    with a single map.  Large path: distributed label propagation followed
+    by the join-based assign + representatives stages."""
+    import ray
+    import ray.data as rd
+    from ..functions.hashing import hash_strings
+    from .joins import cached_get
+    from .sampling import cluster_representatives
+
+    edges_ds = edges_ds.select_columns(["left_id", "right_id"]).materialize()
+    n_edges = edges_ds.count()      # metadata-only; no second execution
+    if n_edges > cfg.driver_cc_max_pairs:
+        comp = distributed_components(edges_ds, cfg,
+                                      approx_nodes=2 * n_edges)
+        assigned = assign_clusters(all_ids_ds, comp, cfg)
+        return cluster_representatives(assigned, cfg)
+
+    if n_edges == 0:
+        comp_df = pd.DataFrame({"image_id": [], "cluster_id": []})
+    else:
+        comp_df = driver_union_find(_collect(edges_ds).to_pandas())
+
+    # broadcast pack: id-hash-sorted membership + per-node cluster id/size
+    ids = comp_df["image_id"].to_numpy(dtype=object)
+    idh = hash_strings(ids, seed=0xC1A5)
+    order = np.argsort(idh, kind="stable")
+    sizes = comp_df["cluster_id"].map(
+        comp_df["cluster_id"].value_counts()).to_numpy()
+    pack_ref = ray.put({
+        "id_hash": np.ascontiguousarray(idh[order]),
+        "cid": pa.array(comp_df["cluster_id"].to_numpy(dtype=object)[order],
+                        pa.string()),
+        "size": np.ascontiguousarray(sizes[order].astype(np.int64)),
+    })
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        pack = cached_get(pack_ref)
+        id_hash = pack["id_hash"]
+        bid = batch["image_id"]
+        probe = hash_strings(bid.to_pylist(), seed=0xC1A5)
+        n = batch.num_rows
+        if id_hash.size:
+            pos = np.clip(np.searchsorted(id_hash, probe),
+                          0, id_hash.size - 1)
+            hit = id_hash[pos] == probe
+        else:
+            pos = np.zeros(n, dtype=np.int64)
+            hit = np.zeros(n, dtype=bool)
+        cid = pack["cid"].take(pa.array(pos, pa.int64()))
+        cid = pc.if_else(pa.array(hit), cid,
+                         pc.cast(bid.combine_chunks() if
+                                 isinstance(bid, pa.ChunkedArray) else bid,
+                                 pa.string()))
+        size = np.where(hit, pack["size"][pos], 1)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "cluster_id": cid,
+            "cluster_size": pa.array(size, pa.int64()),
+            "is_representative": pc.equal(
+                pc.cast(batch["image_id"], pa.string()), cid),
+        })
+
+    return all_ids_ds.map_batches(kernel, batch_format="pyarrow")
 
 
 def assign_clusters(all_ids_ds, components_ds, cfg: DedupConfig):

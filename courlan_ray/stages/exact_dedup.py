@@ -35,28 +35,54 @@ def add_exact_key(ds, cfg: DedupConfig, key_col: str = "exact_key"):
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)
 
 
+def _edges_from_block(tbl: pa.Table, key_col: str, id_col: str) -> pa.Table:
+    """(key, id) rows wholly containing each key -> (keeper=min id, other)
+    edges.  One Arrow C++ sort + numpy group boundaries; no per-group
+    Python, no aggregate+join round trip."""
+    empty = pa.table({"left_id": pa.array([], pa.string()),
+                      "right_id": pa.array([], pa.string())})
+    if tbl.num_rows == 0:
+        return empty
+    s = tbl.sort_by([(key_col, "ascending"),
+                     (id_col, "ascending")]).combine_chunks()
+    k = s[key_col].to_numpy(zero_copy_only=False)
+    n = len(k)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(k[1:], k[:-1], out=first[1:])
+    if first.all():
+        return empty
+    gid = np.cumsum(first) - 1
+    starts = np.flatnonzero(first)
+    member = np.flatnonzero(~first)
+    ids = s[id_col]
+    return pa.table({
+        "left_id": ids.take(pa.array(starts[gid[member]], pa.int64())),
+        "right_id": ids.take(pa.array(member, pa.int64())),
+    })
+
+
 def exact_dup_edges(keyed_ds, cfg: DedupConfig, id_col: str = "image_id"):
     """(left_id=keeper, right_id=dropped) edges from the narrow projection.
 
-    Fully vectorized: the keeper per key comes from the associative
-    combine tree (stages/agg.py), a size-adaptive join attaches it back,
-    and a filter keeps the non-keepers."""
-    import pyarrow.compute as pc
-    from .agg import grouped_agg
-    from .joins import attach_by_key
+    Size-adaptive: a small narrow table is linked in one vectorized driver
+    pass; at scale a keyed hash-shuffle ``repartition`` lands every
+    ``exact_key`` wholly in one partition and the same block kernel runs
+    per partition — no driver materialization."""
+    import ray.data as rd
+    from .joins import _collect, join_partitions
 
+    if "exact_key" not in keyed_ds.schema().names:
+        keyed_ds = add_exact_key(keyed_ds, cfg)
     narrow = keyed_ds.select_columns(["exact_key", id_col]).materialize()
-    keepers = grouped_agg(narrow, ["exact_key"],
-                          [(id_col, "min", "keeper")]).materialize()
-    joined = attach_by_key(narrow, keepers, ["exact_key"],
-                           num_partitions=cfg.shuffle_partitions)
-
-    def edges(batch: pa.Table) -> pa.Table:
-        keep = pc.not_equal(batch[id_col], batch["keeper"])
-        b = batch.filter(keep)
-        return pa.table({"left_id": b["keeper"], "right_id": b[id_col]})
-
-    return joined.map_batches(edges, batch_format="pyarrow")
+    if narrow.count() <= cfg.verify_broadcast_max:
+        return rd.from_arrow(
+            _edges_from_block(_collect(narrow), "exact_key", id_col))
+    return (narrow
+            .repartition(join_partitions(cfg.shuffle_partitions),
+                         keys=["exact_key"])
+            .map_batches(lambda b: _edges_from_block(b, "exact_key", id_col),
+                         batch_format="pyarrow", batch_size=None))
 
 
 def exact_dedup(ds, cfg: DedupConfig, id_col: str = "image_id"):

@@ -196,58 +196,92 @@ def _local_stars(b: pa.Table, cfg: DedupConfig) -> pa.Table:
     return pa.concat_tables([edges, reps])
 
 
-def _link_reps(tbl: pa.Table, cap: int) -> tuple[pa.Table, np.ndarray]:
-    """Level 2 core: link rep rows per bucket (one hub -> each local rep)
-    and find noisy weak-channel buckets (total members > cap).
+def _link_all(tbl: pa.Table, cap: int) -> pa.Table:
+    """Level 2, fused: given ALL st1 rows of some set of buckets (each
+    bucket wholly present — guaranteed by the keyed shuffle or by driver
+    collection), emit the final canonical candidate edges:
 
-    The hub is the member with the smallest ``idh`` (deterministic,
-    order-free) — connectivity does not care which member hubs, so the
-    link runs entirely on numeric columns: ONE lexsort by (bucket, idh),
-    group boundaries by diff, totals by ``add.reduceat``.  No string
-    sorting/aggregation (measured 5-10x faster than a pyarrow string-min
-    group_by at millions of rows).  Used both on the driver (small) and
-    inside each hash-shuffle partition (scale path).
+      - noisy-bucket suppression: per-bucket totals from rep counts; weak
+        channels above ``cap`` are collision noise and contribute nothing
+        (strong MinHash bands are never capped)
+      - member star edges (level-1 member -> local rep)
+      - cross-salt/block rep links (per-bucket hub = min idh -> each rep)
+      - canonical (min,max) ordering + 64-bit pair_key
 
-    Returns (edge table (bucket, ch, left_id, right_id), noisy bucket
-    int64 array)."""
-    empty = pa.table({"bucket": pa.array([], pa.int64()),
-                      "ch": pa.array([], pa.int8()),
-                      "left_id": pa.array([], pa.string()),
-                      "right_id": pa.array([], pa.string())})
-    n = tbl.num_rows
-    if n == 0:
-        return empty, np.empty(0, dtype=np.int64)
+    One kernel replaces the former edge/rep split + marker rows + global
+    noisy-bucket broadcast + separate finalize pass (4 stage launches ->
+    1), possible because the keyed shuffle makes noise totals local."""
+    empty = pa.table({"left_id": pa.array([], pa.string()),
+                      "right_id": pa.array([], pa.string()),
+                      "pair_key": pa.array([], pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
     tbl = tbl.combine_chunks()
     bucket = tbl["bucket"].to_numpy(zero_copy_only=False)
-    idh = tbl["idh"].to_numpy(zero_copy_only=False).view(_U64)
-    cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+    is_rep = tbl["is_rep"].to_numpy(zero_copy_only=False)
     ch = tbl["ch"].to_numpy(zero_copy_only=False)
+    cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+    idh = tbl["idh"].to_numpy(zero_copy_only=False).view(_U64)
 
-    order = np.lexsort((idh, bucket))
-    bs = bucket[order]
-    first = np.empty(n, dtype=bool)
-    first[0] = True
-    np.not_equal(bs[1:], bs[:-1], out=first[1:])
-    gid = np.cumsum(first) - 1                 # group index per sorted row
-    starts = np.flatnonzero(first)             # sorted-space group starts
-    rep_orig = order[starts]                   # original row of each hub
+    # --- per-bucket totals + hub over REP rows only ---
+    rep_idx = np.flatnonzero(is_rep)
+    rb = bucket[rep_idx]
+    order = np.lexsort((idh[rep_idx], rb))
+    rbs = rb[order]
+    m = rbs.size
+    noisy = np.empty(0, dtype=np.int64)
+    link_left = link_right = None
+    if m:
+        first = np.empty(m, dtype=bool)
+        first[0] = True
+        np.not_equal(rbs[1:], rbs[:-1], out=first[1:])
+        gid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        rep_orig = rep_idx[order[starts]]          # hub row per bucket
+        totals = np.add.reduceat(cnt[rep_idx][order], starts)
+        noisy_mask = (totals > cap) & (ch[rep_orig] != CH_MINHASH)
+        noisy = np.sort(bucket[rep_orig][noisy_mask].astype(np.int64))
 
-    member_mask = ~first
-    member_orig = order[member_mask]
-    rep_of_member = rep_orig[gid[member_mask]]
-    ids = tbl["image_id"].combine_chunks() if isinstance(tbl["image_id"],
-                                                         pa.ChunkedArray) \
-        else tbl["image_id"]
+        member_mask = ~first                       # non-hub reps
+        mem_orig = rep_idx[order[member_mask]]
+        hub_of = rep_orig[gid[member_mask]]
+        keep = ~_in_sorted(noisy, bucket[mem_orig])
+        link_left, link_right = hub_of[keep], mem_orig[keep]
+
+    # --- member star edges (level-1), noisy buckets dropped ---
+    mem_idx = np.flatnonzero(~is_rep)
+    keep_m = ~_in_sorted(noisy, bucket[mem_idx])
+    mem_idx = mem_idx[keep_m]
+
+    ids = tbl["image_id"]
+    partner = tbl["partner"]
+    lefts, rights = [], []
+    if mem_idx.size:
+        lefts.append(partner.take(pa.array(mem_idx, pa.int64())))
+        rights.append(ids.take(pa.array(mem_idx, pa.int64())))
+    if link_left is not None and link_left.size:
+        lefts.append(ids.take(pa.array(link_left, pa.int64())))
+        rights.append(ids.take(pa.array(link_right, pa.int64())))
+    if not lefts:
+        return empty
     edges = pa.table({
-        "bucket": pa.array(bucket[member_orig], pa.int64()),
-        "ch": pa.array(ch[member_orig], pa.int8()),
-        "left_id": ids.take(pa.array(rep_of_member, pa.int64())),
-        "right_id": ids.take(pa.array(member_orig, pa.int64())),
+        "left_id": pa.concat_arrays([a.combine_chunks() if
+                                     isinstance(a, pa.ChunkedArray) else a
+                                     for a in lefts]),
+        "right_id": pa.concat_arrays([a.combine_chunks() if
+                                      isinstance(a, pa.ChunkedArray) else a
+                                      for a in rights]),
     })
-    totals = np.add.reduceat(cnt[order], starts)
-    noisy_mask = (totals > cap) & (ch[rep_orig] != CH_MINHASH)
-    noisy = bucket[rep_orig][noisy_mask]
-    return edges, noisy.astype(np.int64)
+    return _canon_edges(edges, "left_id", "right_id")
+
+
+def _in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in a sorted int64 array, vectorized."""
+    if sorted_arr.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_arr, values), 0,
+                  sorted_arr.size - 1)
+    return sorted_arr[pos] == values
 
 
 def candidate_pairs(sig_ds, cfg: DedupConfig):
@@ -255,93 +289,41 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
 
     See module docstring for the two-level construction.  ``sig_ds`` should
     be the (narrow) signature table; callers filter invalid / exact-dup rows
-    first."""
-    import ray
+    first.
+
+    Small path (st1 rows <= ``cfg.lsh_driver_link_max``): one driver-local
+    vectorized ``_link_all`` + numpy pair distinct — no extra stages.
+    Scale path: ONE keyed hash-shuffle co-locates every bucket, the same
+    ``_link_all`` kernel runs per partition, and a second keyed shuffle
+    dedups by pair_key (declared cardinality; the lazy-auto trap fix)."""
     import ray.data as rd
     from .joins import _collect, join_partitions
 
     st1 = sig_ds.map_batches(lambda b: _local_stars(b, cfg),
                              batch_format="pyarrow",
                              batch_size=cfg.batch_size).materialize()
-    reps = st1.filter(expr="is_rep == True")
-    edges1 = st1.filter(expr="is_rep == False")
-
-    n_reps = reps.count()
+    n_rows = st1.count()        # metadata-only on the materialized table
     cap = cfg.weak_bucket_cap
-    if n_reps <= cfg.lsh_driver_link_max:
-        tbl = _collect(reps.select_columns(
-            ["bucket", "ch", "image_id", "cnt", "idh"]))
-        e2_tbl, noisy = _link_reps(tbl, cap)
-        e2_tbl = e2_tbl.select(["bucket", "ch", "left_id", "right_id"])
-        # split into multiple blocks so downstream finalize fans out
-        chunk = 200_000
-        slices = [e2_tbl.slice(i, chunk)
-                  for i in range(0, max(e2_tbl.num_rows, 1), chunk)]
-        edges2 = rd.from_arrow(slices)
-        noisy_list = [noisy]
-    else:
-        # scale path: co-locate each bucket via keyed hash shuffle, link
-        # per-partition; noisy buckets come back as tagged marker rows
-        parts = join_partitions(cfg.shuffle_partitions)
 
-        def link_block(b: pa.Table) -> pa.Table:
-            edges, noisy = _link_reps(b, cap)
-            marker = pa.table({
-                "bucket": pa.array(noisy, pa.int64()),
-                "ch": pa.array(np.full(noisy.size, CH_PHASH, dtype=np.int8),
-                               pa.int8()),
-                "left_id": pa.array([""] * noisy.size, pa.string()),
-                "right_id": pa.array([""] * noisy.size, pa.string()),
-                "is_noise": pa.array(np.ones(noisy.size, dtype=bool)),
-            })
-            edges = edges.append_column(
-                "is_noise", pa.array(np.zeros(edges.num_rows, dtype=bool)))
-            return pa.concat_tables([edges, marker])
+    if n_rows <= cfg.lsh_driver_link_max:
+        edges_tbl = _link_all(_collect(st1), cap)
+        pk = edges_tbl["pair_key"].to_numpy(zero_copy_only=False)
+        _, uniq_idx = np.unique(pk, return_index=True)
+        if uniq_idx.size < edges_tbl.num_rows:
+            edges_tbl = edges_tbl.take(pa.array(np.sort(uniq_idx), pa.int64()))
+        edges_tbl = edges_tbl.drop_columns(["pair_key"])
+        # split into multiple blocks so downstream verify fans out
+        chunk = 100_000
+        slices = [edges_tbl.slice(i, chunk)
+                  for i in range(0, max(edges_tbl.num_rows, 1), chunk)]
+        return rd.from_arrow(slices)
 
-        linked = (reps.select_columns(["bucket", "ch", "image_id", "cnt", "idh"])
-                  .repartition(parts, keys=["bucket"])
-                  .map_batches(link_block, batch_format="pyarrow",
-                               batch_size=None).materialize())
-        noisy_rows = linked.filter(expr="is_noise == True") \
-            .select_columns(["bucket"]).take_all()
-        noisy_list = [np.array([r["bucket"] for r in noisy_rows],
-                               dtype=np.int64)]
-        edges2 = linked.filter(expr="is_noise == False") \
-            .select_columns(["bucket", "ch", "left_id", "right_id"])
-
-    noisy_arr = np.sort(np.concatenate(noisy_list)) if noisy_list else \
-        np.empty(0, dtype=np.int64)
-    noisy_ref = ray.put(noisy_arr)
-
-    def finalize(b: pa.Table) -> pa.Table:
-        """Drop weak-channel edges from noisy buckets, canonicalize."""
-        if b.num_rows == 0:
-            return pa.table({"left_id": pa.array([], pa.string()),
-                             "right_id": pa.array([], pa.string()),
-                             "pair_key": pa.array([], pa.int64())})
-        na = cached_get(noisy_ref)
-        bu = b["bucket"].to_numpy(zero_copy_only=False)
-        ch = b["ch"].to_numpy(zero_copy_only=False)
-        is_noisy = np.zeros(len(bu), dtype=bool)
-        if na.size:
-            pos = np.clip(np.searchsorted(na, bu), 0, na.size - 1)
-            is_noisy = (na[pos] == bu) & (ch != CH_MINHASH)
-        return _canon_edges(b.filter(pa.array(~is_noisy)),
-                            "left_id", "right_id")
-
-    e1 = edges1.map_batches(
-        lambda b: pa.table({"bucket": b["bucket"], "ch": b["ch"],
-                            "left_id": b["partner"],
-                            "right_id": b["image_id"]}),
-        batch_format="pyarrow")
-    canonical = e1.union(edges2).map_batches(finalize, batch_format="pyarrow")
-
-    # raw edge count (pre-dedup) bounds the distinct-key cardinality, so the
-    # dedup mode is declared, not guessed (the lazy-auto trap fix).  Rows
-    # with the same pair_key carry identical id strings, so first-per-key
-    # distinct == the aggregation, without any string aggregation.
+    parts = join_partitions(cfg.shuffle_partitions)
+    canonical = (st1.repartition(parts, keys=["bucket"])
+                 .map_batches(lambda b: _link_all(b, cap),
+                              batch_format="pyarrow", batch_size=None))
     from .agg import distinct_by_key
-    approx_edges = st1.count()
     distinct = distinct_by_key(canonical, "pair_key",
-                               approx_count=approx_edges)
+                               approx_count=n_rows,
+                               tree_max_groups=2_000_000)
     return distinct.drop_columns(["pair_key"])

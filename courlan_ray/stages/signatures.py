@@ -165,11 +165,18 @@ class SignatureActor:
         fp_col = pa.ListArray.from_arrays(pa.array(fp_offsets, pa.int32()),
                                           pa.array(v_fps.view(np.int64),
                                                    pa.int64()))
+        # variant-invariant exact-dup key (stages/exact_dedup.py), computed
+        # here so the exact stage needs no extra pass over the sigtable
+        ck = hash_strings(batch["caption_key"].to_pylist(), seed=cfg.seed)
+        from ..functions.hashing import hash_u64_pair
+        exact_key = hash_u64_pair(ck, phash).view(np.int64)
+
         return pa.table({
             "image_id": batch["image_id"],
             "caption_key": cap_full,
             "valid": pa.array(valid),
             "reject_reason": reject,
+            "exact_key": pa.array(exact_key, pa.int64()),
             "minhash": minhash_col,
             "simhash_cap": pa.array(sim_cap.view(np.int64), pa.int64()),
             "simhash_pix": pa.array(simpix.view(np.int64), pa.int64()),
@@ -181,15 +188,19 @@ class SignatureActor:
 
 
 def _pool_size(cfg: DedupConfig) -> int:
-    """Clamp pool to CPUs-2 so the pool never reserves every CPU and starves
-    the read stage (a pool that owns the whole node serializes the pipeline)."""
+    """Size the pool to 3/4 of cluster CPUs so the pool never reserves
+    every CPU and starves the read stage (a pool that owns the whole node
+    serializes the pipeline).  Proportional — not ``cpus - 2`` — so the
+    stage's resource share is identical at every cluster size (a constant
+    subtraction gave small clusters a disproportionally small pool,
+    distorting scaling measurements)."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(1, min(cfg.signature_concurrency, cpus - 2))
+    return max(1, min(cfg.signature_concurrency, (3 * cpus) // 4))
 
 
 def compute_signatures(ds, cfg: DedupConfig, *, with_gates: bool = False):

@@ -103,19 +103,32 @@ def _list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _pack_signatures(sig_ds, cfg: DedupConfig):
-    """Collect the signature table into pure-numpy broadcast blocks, sorted
-    by 64-bit id hash for searchsorted probing.  Vectorized end to end."""
+    """Broadcast pack of the signature table, id-hash-sorted for
+    searchsorted probing.  The hash column and the per-block sorting run in
+    PARALLEL map tasks; the driver only merges pre-sorted blocks (numpy
+    C-speed) and ``ray.put``s the arrays — the former collect+argsort+take
+    of the whole table on the driver was a multi-second serial floor."""
     import ray
     from ..functions.hashing import hash_strings
     from .joins import _collect
 
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = hash_strings(b["image_id"].to_pylist(), seed=0xA11CE)
+        return b.append_column("__idh",
+                               pa.array(h.view(np.int64), pa.int64()))
+
     tbl = _collect(sig_ds.select_columns(
         ["image_id", "minhash", "simhash_pix", "phash",
-         "caption_key", "fingerprints", "decode_ok"]))
+         "caption_key", "fingerprints", "decode_ok"])
+        .map_batches(add_hash, batch_format="pyarrow")).combine_chunks()
     n = tbl.num_rows
-    id_hash = hash_strings(tbl["image_id"].to_pylist(), seed=0xA11CE)
-    order = np.argsort(id_hash, kind="stable")
-    tbl = tbl.take(pa.array(order, pa.int64())).combine_chunks()
+    # payload arrays stay in ARRIVAL order; only the 8-byte hash column is
+    # sorted, plus a perm array mapping sorted position -> payload row.
+    # The probe side gathers by row anyway, so reordering 100+ MB of
+    # payload on the driver (argsort + full-table take) buys nothing.
+    raw = tbl["__idh"].to_numpy(zero_copy_only=False).view(_U64) if n else \
+        np.zeros(0, _U64)
+    perm = np.argsort(raw, kind="stable")
 
     mh = np.ascontiguousarray(
         np.asarray(tbl["minhash"].chunk(0).flatten()
@@ -126,7 +139,8 @@ def _pack_signatures(sig_ds, cfg: DedupConfig):
     fp_flat, fp_off = _list_buffers(tbl["fingerprints"]) if n else \
         (np.zeros(0, np.int64), np.zeros(1, np.int64))
     pack = {
-        "id_hash": np.ascontiguousarray(id_hash[order]),
+        "id_hash": np.ascontiguousarray(raw[perm]),
+        "perm": perm,
         "minhash": mh,
         "phash": np.ascontiguousarray(
             tbl["phash"].to_numpy(zero_copy_only=False)),
@@ -234,6 +248,9 @@ def _verify_broadcast(pairs_ds, sig_ds, cfg: DedupConfig):
             n = batch.num_rows
             if n == 0:
                 return _EMPTY_OUT
+        # sorted position -> payload row (payload arrays are unsorted)
+        perm = cached_get(refs["perm"])
+        pos_l, pos_r = perm[pos_l], perm[pos_r]
 
         mh = cached_get(refs["minhash"])
         phash = cached_get(refs["phash"])
@@ -283,14 +300,19 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
     sig_ds = sig_ds.materialize()
     n_sigs = sig_ds.count()
 
-    # re-split the (possibly few-block) candidate output so the verify
-    # stage fans out across the cluster
+    # re-split the candidate output so the verify stage fans out across the
+    # cluster — skipped when the input is already well-partitioned (the
+    # keyed-shuffle distinct emits shuffle_partitions blocks)
     try:
         import ray
         fanout = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     except Exception:
         fanout = 16
-    pairs_ds = pairs_ds.repartition(fanout)
+    from ray.data.dataset import MaterializedDataset
+    nb = pairs_ds.num_blocks() if isinstance(pairs_ds, MaterializedDataset) \
+        else 0
+    if nb < fanout // 2:
+        pairs_ds = pairs_ds.repartition(fanout)
 
     if n_sigs <= cfg.verify_broadcast_max:
         return _verify_broadcast(pairs_ds, sig_ds, cfg)
