@@ -49,6 +49,36 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     return splitmix64(h ^ _U64(seed & 0xFFFFFFFFFFFFFFFF))
 
 
+def adjacent_pair_hashes(flat: np.ndarray, counts: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Hash of each CONSECUTIVE pair within each variable-length segment
+    (position order).  Segment i with c_i entries yields max(c_i - 1, 0)
+    pair hashes.  Used as the fingerprint-channel bucket key: a shared
+    substring must then span >= 2 consecutive winnowing prints
+    (>= k + 2w - 1 chars), which suppresses single-shared-phrase collision
+    buckets (measured 99.8% of candidate-pair volume on templated text)."""
+    cnt2 = np.maximum(counts - 1, 0).astype(np.int64)
+    if flat.size == 0 or cnt2.sum() == 0:
+        return np.zeros(0, dtype=np.uint64), cnt2
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    fi = np.repeat(starts, cnt2) + _ranges_within(cnt2)
+    return hash_u64_pair(flat[fi].astype(np.uint64),
+                         flat[fi + 1].astype(np.uint64)), cnt2
+
+
+def sort_segments(flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Sort each variable-length segment of ``flat`` (segment i spans
+    counts[:i].sum() .. +counts[i]) independently, vectorized: one lexsort
+    keyed by (segment id, value).  Used to keep per-row fingerprint lists
+    sorted so downstream set-intersections need no per-pair sorting."""
+    if flat.size == 0:
+        return flat
+    seg = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    order = np.lexsort((flat, seg))
+    return flat[order]
+
+
 def _encode_concat(texts: list[bytes], min_len: int) -> tuple[np.ndarray, np.ndarray]:
     """Concatenate byte strings, padding each to >= min_len with NUL.
     Returns (flat uint8 buffer, per-doc padded lengths)."""

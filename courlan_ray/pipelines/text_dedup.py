@@ -38,9 +38,14 @@ class TextSignatureActor:
         fps, fpc = winnowing_fingerprints(texts, cfg.fingerprint_k,
                                           cfg.fingerprint_window,
                                           seed=cfg.seed + 2)
+        from ..functions.hashing import adjacent_pair_hashes, sort_segments
+        fpp, fppc = adjacent_pair_hashes(fps, fpc)  # position order, banding
+        fps = sort_segments(fps, fpc)               # sorted, verify side
         mh_flat = pa.array(minh.view(np.int64).ravel(), pa.int64())
         off = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(fpc, out=off[1:])
+        off2 = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(fppc, out=off2[1:])
         ids = pc.cast(batch[self.id_col], pa.string())
         return pa.table({
             "image_id": ids,                # engine-wide id column name
@@ -51,6 +56,9 @@ class TextSignatureActor:
             "phash": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
             "fingerprints": pa.ListArray.from_arrays(
                 pa.array(off, pa.int32()), pa.array(fps.view(np.int64), pa.int64())),
+            "fp_pairs": pa.ListArray.from_arrays(
+                pa.array(off2, pa.int32()),
+                pa.array(fpp.view(np.int64), pa.int64())),
             "shingle_count": pa.array(counts.astype(np.int32), pa.int32()),
             "decode_ok": pa.array(np.ones(n, dtype=bool)),
         })
@@ -58,11 +66,11 @@ class TextSignatureActor:
 
 def text_signatures(ds, cfg: DedupConfig, *, id_col="doc_id", text_col="text"):
     from ..stages.signatures import _pool_size
-    pool = _pool_size(cfg)
     return ds.map_batches(TextSignatureActor,
                           fn_constructor_args=(cfg, id_col, text_col),
-                          batch_format="pyarrow", batch_size=cfg.batch_size,
-                          concurrency=pool, num_cpus=1)
+                          batch_format="pyarrow",
+                          batch_size=cfg.signature_batch_size,
+                          concurrency=(1, _pool_size(cfg)), num_cpus=1)
 
 
 def text_dedup_pipeline(ds, cfg: DedupConfig | None = None, *,

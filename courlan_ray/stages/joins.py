@@ -188,9 +188,29 @@ def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str
 
 
 def _collect(ds) -> pa.Table:
-    """Materialize a (small) Dataset to one Arrow table on the driver."""
-    parts = [pa.table(b) for b in ds.iter_batches(batch_size=65536,
-                                                  batch_format="pyarrow")]
+    """Materialize a (small) Dataset to one Arrow table on the driver.
+
+    Fetches WHOLE blocks (``to_arrow_refs``) rather than re-batching
+    through ``iter_batches`` — re-batching yields sliced arrays with
+    non-zero offsets, and ``combine_chunks`` over such zero-copy slices
+    intermittently hits pyarrow's "buffer slice would exceed buffer
+    length" bug downstream."""
+    import ray
+
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     if parts:
         return pa.concat_tables(parts)
     return pa.Table.from_pylist([], schema=ds.schema().base_schema)
+
+
+def safe_combine(x):
+    """``combine_chunks`` (Table or ChunkedArray) with a deep-copy fallback
+    for the pyarrow sliced-buffer bug (rare, layout-dependent:
+    "buffer slice would exceed buffer length" on zero-copy slices)."""
+    import numpy as np
+    try:
+        return x.combine_chunks()
+    except pa.lib.ArrowIndexError:
+        n = x.num_rows if isinstance(x, pa.Table) else len(x)
+        idx = pa.array(np.arange(n, dtype=np.int64))
+        return x.take(idx).combine_chunks()

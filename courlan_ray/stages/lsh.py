@@ -48,7 +48,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DedupConfig
-from ..functions.hashing import band_keys, hash_u64_pair, hash_strings, splitmix64
+from ..functions.hashing import (band_keys, hash_u64_pair, hash_strings,
+                                 splitmix64, _ranges_within)
 from .joins import cached_get
 
 _U64 = np.uint64
@@ -104,13 +105,35 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
             chan_tags.append(np.full(m * nb, CH_PHASH))
 
     if "fingerprint" in cfg.channels:
-        fp_list = sig_batch["fingerprints"].combine_chunks()
-        fp_flat = np.asarray(fp_list.flatten().to_numpy(zero_copy_only=False)).view(_U64)
-        fp_counts = np.diff(fp_list.offsets.to_numpy(zero_copy_only=False))
-        ch3 = splitmix64(fp_flat ^ _U64(CH_FINGERPRINT))
+        # bucket on CONSECUTIVE-print pair hashes: a shared bucket then
+        # implies a shared substring of >= k + 2w - 1 chars (two adjacent
+        # winnowing prints), killing single-shared-phrase collision buckets.
+        # Rows with a single print (text of ~k+w-1..k+2w-2 chars) fall back
+        # to the raw print so short near-verbatim captions still bucket.
+        from .joins import safe_combine
+        fpp_list = safe_combine(sig_batch["fp_pairs"])
+        fpp_flat = np.asarray(fpp_list.flatten()
+                              .to_numpy(zero_copy_only=False)).view(_U64)
+        fpp_counts = np.diff(fpp_list.offsets.to_numpy(zero_copy_only=False))
+        ch3 = splitmix64(fpp_flat ^ _U64(CH_FINGERPRINT))
         buckets.append(ch3)
-        row_idx.append(np.repeat(np.arange(n), fp_counts))
-        chan_tags.append(np.full(len(fp_flat), CH_FINGERPRINT))
+        row_idx.append(np.repeat(np.arange(n), fpp_counts))
+        chan_tags.append(np.full(len(fpp_flat), CH_FINGERPRINT))
+
+        fp_list = safe_combine(sig_batch["fingerprints"])
+        fp_counts = np.diff(fp_list.offsets.to_numpy(zero_copy_only=False))
+        lone = (fpp_counts == 0) & (fp_counts > 0)
+        if lone.any():
+            li = np.flatnonzero(lone)
+            offs = fp_list.offsets.to_numpy(zero_copy_only=False)
+            fp_flat = np.asarray(fp_list.flatten()
+                                 .to_numpy(zero_copy_only=False)).view(_U64)
+            cnt = fp_counts[li]
+            fi = np.repeat(offs[li], cnt) + _ranges_within(cnt)
+            ch4 = splitmix64(fp_flat[fi] ^ _U64(CH_FINGERPRINT) ^ _U64(0x51))
+            buckets.append(ch4)
+            row_idx.append(np.repeat(li, cnt))
+            chan_tags.append(np.full(len(ch4), CH_FINGERPRINT))
 
     all_buckets = np.concatenate(buckets).view(np.int64)
     all_rows = np.concatenate(row_idx)
@@ -216,7 +239,8 @@ def _link_all(tbl: pa.Table, cap: int) -> pa.Table:
                       "pair_key": pa.array([], pa.int64())})
     if tbl.num_rows == 0:
         return empty
-    tbl = tbl.combine_chunks()
+    from .joins import safe_combine
+    tbl = safe_combine(tbl)
     bucket = tbl["bucket"].to_numpy(zero_copy_only=False)
     is_rep = tbl["is_rep"].to_numpy(zero_copy_only=False)
     ch = tbl["ch"].to_numpy(zero_copy_only=False)

@@ -131,6 +131,11 @@ class SignatureActor:
         v_fps, v_fp_counts = winnowing_fingerprints(
             captions, cfg.fingerprint_k, cfg.fingerprint_window,
             seed=cfg.seed + 2)
+        from ..functions.hashing import adjacent_pair_hashes, sort_segments
+        # consecutive-print pair hashes (position order) for banding, THEN
+        # sort prints per row for the verify-side set intersection
+        v_fpp, v_fpp_counts = adjacent_pair_hashes(v_fps, v_fp_counts)
+        v_fps = sort_segments(v_fps, v_fp_counts)
 
         in_phash = vb["phash"].to_numpy(zero_copy_only=False) \
             .astype(np.int64).view(_U64)
@@ -154,6 +159,8 @@ class SignatureActor:
         ok = np.zeros(n, dtype=bool); ok[vidx] = v_ok
         counts = np.zeros(n, dtype=np.int64); counts[vidx] = v_counts
         fp_counts = np.zeros(n, dtype=np.int64); fp_counts[vidx] = v_fp_counts
+        fpp_counts = np.zeros(n, dtype=np.int64)
+        fpp_counts[vidx] = v_fpp_counts
 
         cap_full = batch["caption_key"] if len(vidx) == n else \
             batch["caption_key"]
@@ -165,6 +172,11 @@ class SignatureActor:
         fp_col = pa.ListArray.from_arrays(pa.array(fp_offsets, pa.int32()),
                                           pa.array(v_fps.view(np.int64),
                                                    pa.int64()))
+        fpp_offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(fpp_counts, out=fpp_offsets[1:])
+        fpp_col = pa.ListArray.from_arrays(pa.array(fpp_offsets, pa.int32()),
+                                           pa.array(v_fpp.view(np.int64),
+                                                    pa.int64()))
         # variant-invariant exact-dup key (stages/exact_dedup.py), computed
         # here so the exact stage needs no extra pass over the sigtable
         ck = hash_strings(batch["caption_key"].to_pylist(), seed=cfg.seed)
@@ -182,6 +194,7 @@ class SignatureActor:
             "simhash_pix": pa.array(simpix.view(np.int64), pa.int64()),
             "phash": pa.array(phash.view(np.int64), pa.int64()),
             "fingerprints": fp_col,
+            "fp_pairs": fpp_col,
             "shingle_count": pa.array(counts.astype(np.int32), pa.int32()),
             "decode_ok": pa.array(ok),
         })
@@ -212,6 +225,9 @@ def compute_signatures(ds, cfg: DedupConfig, *, with_gates: bool = False):
         fn_constructor_args=(cfg, with_gates),
         batch_format="pyarrow",
         batch_size=cfg.signature_batch_size,
-        concurrency=_pool_size(cfg),
+        # autoscaling pool: small inputs don't pay a full-size actor-pool
+        # startup; large inputs ramp to the same max as a fixed pool
+        # (measured equal-or-faster at 100k rows)
+        concurrency=(1, _pool_size(cfg)),
         num_cpus=1,
     )
