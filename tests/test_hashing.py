@@ -78,3 +78,36 @@ def test_hash_strings_deterministic():
     c = H.hash_strings(["x", "y"], seed=2)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_sort_segments_sorts_each_row_independently():
+    import numpy as np
+    from courlan_ray.functions.hashing import sort_segments
+    flat = np.array([5, 3, 9, 7, 1], dtype=np.uint64)
+    counts = np.array([3, 0, 2])
+    out = sort_segments(flat, counts)
+    assert out.tolist() == [3, 5, 9, 1, 7]
+    assert sort_segments(np.array([], dtype=np.uint64),
+                         np.array([0, 0])).size == 0
+
+
+def test_adjacent_pair_hashes_counts_and_determinism():
+    import numpy as np
+    from courlan_ray.functions.hashing import adjacent_pair_hashes
+    flat = np.array([10, 20, 30, 40, 50], dtype=np.uint64)
+    counts = np.array([3, 1, 1])       # segments [10,20,30], [40], [50]
+    keys, cnt2 = adjacent_pair_hashes(flat, counts)
+    assert cnt2.tolist() == [2, 0, 0]
+    assert keys.size == 2
+    # pair hashing is position-sensitive and deterministic
+    keys2, _ = adjacent_pair_hashes(flat, counts)
+    assert (keys == keys2).all()
+    rev, _ = adjacent_pair_hashes(np.array([30, 20, 10], dtype=np.uint64),
+                                  np.array([3]))
+    assert set(rev.tolist()).isdisjoint(set(keys.tolist()))
+    # a shared run of consecutive prints yields shared pair keys
+    a = np.array([1, 2, 3, 4], dtype=np.uint64)
+    b = np.array([9, 2, 3, 4], dtype=np.uint64)
+    ka, _ = adjacent_pair_hashes(a, np.array([4]))
+    kb, _ = adjacent_pair_hashes(b, np.array([4]))
+    assert len(set(ka.tolist()) & set(kb.tolist())) == 2   # (2,3) and (3,4)
