@@ -125,8 +125,22 @@ def run_scaling() -> dict:
     hardware.  All raw timings are reported alongside."""
     lo = int(os.environ.get("RAY_GRAFT_SCALING_LO", "4"))
     hi = 4 * lo
-    rows = os.environ.get("RAY_GRAFT_SYNTH_ROWS", "100000")
+    # 200k rows: per-stage fixed costs (stage launch, actor ramp) amortize
+    # into the compute, as they would at the 10^12-row target — 100k at 16
+    # CPUs is only ~6k rows/CPU of work per scheduling floor
+    rows = os.environ.get("RAY_GRAFT_SYNTH_ROWS", "200000")
     reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "3"))
+
+    def calib() -> float:
+        """Single-core matmul seconds — an objective probe of the shared
+        host's current speed (phases vary 2x); recorded per rep pair."""
+        import numpy as np
+        a = np.random.default_rng(0).random((1200, 1200))
+        t0 = time.time()
+        for _ in range(6):
+            a = a @ a
+            a /= np.abs(a).max()
+        return round(time.time() - t0, 2)
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -139,9 +153,12 @@ def run_scaling() -> dict:
     # each child warms its own read; the first child also generates (and
     # caches) the synthetic table, so its generation time is untimed
     runs: dict[int, list[dict]] = {lo: [], hi: []}
+    calibs = []
     for _ in range(reps):
+        calibs.append(calib())
         runs[lo].append(one(lo))
         runs[hi].append(one(hi))
+    calibs.append(calib())
     r_lo = min(runs[lo], key=lambda r: r["value"])
     r_hi = min(runs[hi], key=lambda r: r["value"])
     tp_lo, tp_hi = r_lo["images_per_sec"], r_hi["images_per_sec"]
@@ -158,6 +175,7 @@ def run_scaling() -> dict:
         "recall": r_hi.get("recall"),
         "all_runs_sec": {str(lo): [r["value"] for r in runs[lo]],
                          str(hi): [r["value"] for r in runs[hi]]},
+        "host_calib_sec": calibs,
         "sf": r_lo["sf"], "rows": r_lo["rows"],
     }
 

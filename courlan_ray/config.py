@@ -28,8 +28,12 @@ class DedupConfig:
 
     # --- MinHash over caption character shingles ---
     shingle_width: int = 5
-    num_perm: int = 128
-    bands: int = 32                        # rows per band = num_perm // bands
+    num_perm: int = 126
+    bands: int = 21                        # rows per band = num_perm // bands
+    # (21 bands x 6 rows): P(candidate) = 1-(1-s^6)^21 = 0.9995 at s=0.82,
+    # 0.63 at s=0.6, 0.28 at s=0.5 — vs the old 32x4 whose wide S-curve
+    # admitted 87% of s=0.5 pairs, making verify 98% false positives on
+    # templated captions
     jaccard_threshold: float = 0.80        # est. Jaccard to verify a caption pair
 
     # --- SimHash / phash Hamming-ball over pixels ---

@@ -41,7 +41,8 @@ class TextSignatureActor:
         from ..functions.hashing import adjacent_pair_hashes, sort_segments
         fpp, fppc = adjacent_pair_hashes(fps, fpc)  # position order, banding
         fps = sort_segments(fps, fpc)               # sorted, verify side
-        mh_flat = pa.array(minh.view(np.int64).ravel(), pa.int64())
+        mh32 = (minh & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        mh_flat = pa.array(mh32.view(np.int32).ravel(), pa.int32())
         off = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(fpc, out=off[1:])
         off2 = np.zeros(n + 1, dtype=np.int32)

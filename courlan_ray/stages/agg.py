@@ -102,8 +102,8 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
         return pa.table(cols)
 
     if mode == "shuffle":
-        from .joins import join_partitions
-        parts = join_partitions(64)
+        from .joins import keyed_shuffle_partitions
+        parts = keyed_shuffle_partitions(64)
         return (ds.map_batches(partial, batch_format="pyarrow",
                                batch_size=None)
                   .repartition(parts, keys=keys)
@@ -148,9 +148,9 @@ def distinct_by_key(ds, key: str, *, approx_count: int | None = None,
 
     big = approx_count is not None and approx_count > tree_max_groups
     if big:
-        from .joins import join_partitions
+        from .joins import keyed_shuffle_partitions
         return (ds.map_batches(uniq, batch_format="pyarrow", batch_size=None)
-                  .repartition(join_partitions(64), keys=[key])
+                  .repartition(keyed_shuffle_partitions(64), keys=[key])
                   .map_batches(uniq, batch_format="pyarrow", batch_size=None))
 
     cur = ds.map_batches(uniq, batch_format="pyarrow",

@@ -70,7 +70,7 @@ def exact_dup_edges(keyed_ds, cfg: DedupConfig, id_col: str = "image_id"):
     ``exact_key`` wholly in one partition and the same block kernel runs
     per partition — no driver materialization."""
     import ray.data as rd
-    from .joins import _collect, join_partitions
+    from .joins import _collect, keyed_shuffle_partitions
 
     if "exact_key" not in keyed_ds.schema().names:
         keyed_ds = add_exact_key(keyed_ds, cfg)
@@ -79,7 +79,7 @@ def exact_dup_edges(keyed_ds, cfg: DedupConfig, id_col: str = "image_id"):
         return rd.from_arrow(
             _edges_from_block(_collect(narrow), "exact_key", id_col))
     return (narrow
-            .repartition(join_partitions(cfg.shuffle_partitions),
+            .repartition(keyed_shuffle_partitions(cfg.shuffle_partitions),
                          keys=["exact_key"])
             .map_batches(lambda b: _edges_from_block(b, "exact_key", id_col),
                          batch_format="pyarrow", batch_size=None))

@@ -49,6 +49,30 @@ def join_partitions(requested: int) -> int:
     return max(2, min(requested, cpus))
 
 
+def keyed_shuffle_partitions(requested: int) -> int:
+    """Partition count for a keyed ``repartition(P, keys=...)``.
+
+    Unlike ``Dataset.join`` (clamped to CPUs above), a keyed hash-shuffle
+    balances better with MORE partitions than CPUs (measured 7.2 s at
+    P=32 vs 10.3 s at P=16 for the same 10M-row shuffle on 16 CPUs), so
+    the clamp is much looser: P <= 8 x CPUs.
+
+    The bound is a DEADLOCK guard, not a balance knob.  A Dataset
+    snapshots its DataContext at creation, so the only reliable control
+    at repartition time is P itself: with the package-level aggregator
+    sizing (0.05 CPU per partition, ``courlan_ray.__init__``) the
+    aggregator pool reserves ~0.05 x P CPUs, and at P = 8 x CPUs that is
+    40% of the cluster — upstream 1-CPU map tasks always retain the
+    other 60%.  Unclamped P=64 on a 4-CPU cluster reserved 3.2/4 CPUs
+    and starved the feeding map task forever (observed executor
+    deadlock, test suite round 2)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(requested, 8 * cpus))
+
+
 def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,
                    keys_col: str | None = None,
                    num_partitions: int = 64, broadcast_max: int = BROADCAST_MAX_KEYS):

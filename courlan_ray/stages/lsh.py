@@ -78,7 +78,8 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     if "minhash" in cfg.channels:
         mh = np.asarray(sig_batch["minhash"].combine_chunks().flatten()
-                        .to_numpy(zero_copy_only=False)).view(_U64).reshape(n, cfg.num_perm)
+                        .to_numpy(zero_copy_only=False)) \
+            .view(np.uint32).astype(_U64).reshape(n, cfg.num_perm)
         bk = band_keys(mh, cfg.bands, seed=cfg.seed + 11)      # (n, bands)
         ch = splitmix64(bk ^ _U64(CH_MINHASH))
         buckets.append(ch.ravel())
@@ -148,16 +149,21 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
 def _canon_edges(batch: pa.Table, left: str, right: str) -> pa.Table:
     """Order each edge (min, max) — vectorized Arrow string compare — drop
-    self-edges, add a 64-bit dedup key."""
+    self-edges, add a 64-bit dedup key plus per-side id hashes (seed
+    0xA11CE, the verify probe seed) so the verify kernel never re-hashes
+    the id strings per batch."""
     l, r = batch[left], batch[right]
     l2 = pc.min_element_wise(l, r)
     r2 = pc.max_element_wise(l, r)
     keep = pc.not_equal(l2, r2)
     l2 = l2.filter(keep).combine_chunks()
     r2 = r2.filter(keep).combine_chunks()
-    pk = hash_u64_pair(hash_strings(l2.to_pylist(), seed=1),
-                       hash_strings(r2.to_pylist(), seed=2))
+    hl = hash_strings(l2.to_pylist(), seed=0xA11CE)
+    hr = hash_strings(r2.to_pylist(), seed=0xA11CE)
+    pk = hash_u64_pair(hl, hr)
     return pa.table({"left_id": l2, "right_id": r2,
+                     "left_h": pa.array(hl.view(np.int64), pa.int64()),
+                     "right_h": pa.array(hr.view(np.int64), pa.int64()),
                      "pair_key": pa.array(pk.view(np.int64), pa.int64())})
 
 
@@ -236,6 +242,8 @@ def _link_all(tbl: pa.Table, cap: int) -> pa.Table:
     1), possible because the keyed shuffle makes noise totals local."""
     empty = pa.table({"left_id": pa.array([], pa.string()),
                       "right_id": pa.array([], pa.string()),
+                      "left_h": pa.array([], pa.int64()),
+                      "right_h": pa.array([], pa.int64()),
                       "pair_key": pa.array([], pa.int64())})
     if tbl.num_rows == 0:
         return empty
@@ -320,12 +328,20 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     Scale path: ONE keyed hash-shuffle co-locates every bucket, the same
     ``_link_all`` kernel runs per partition, and a second keyed shuffle
     dedups by pair_key (declared cardinality; the lazy-auto trap fix)."""
-    import ray.data as rd
-    from .joins import _collect, join_partitions
+    import os
+    import sys
+    import time
 
+    import ray.data as rd
+    from .joins import _collect, keyed_shuffle_partitions
+
+    prof = bool(os.environ.get("COURLAN_RAY_PROFILE"))
+    t0 = time.time()
     st1 = sig_ds.map_batches(lambda b: _local_stars(b, cfg),
                              batch_format="pyarrow",
                              batch_size=cfg.batch_size).materialize()
+    if prof:
+        print(f"[lsh] st1: {time.time()-t0:.2f}s", file=sys.stderr)
     n_rows = st1.count()        # metadata-only on the materialized table
     cap = cfg.weak_bucket_cap
 
@@ -342,10 +358,18 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
                   for i in range(0, max(edges_tbl.num_rows, 1), chunk)]
         return rd.from_arrow(slices)
 
-    parts = join_partitions(cfg.shuffle_partitions)
+    # No CPU-count clamp on the partition count (keyed repartition balances
+    # better with MORE partitions than CPUs: measured 10.3 s at P=16 vs
+    # 7.2 s at P=32 on 16 CPUs) — but the aggregator pool must be capped,
+    # see joins.keyed_shuffle_partitions.
+    parts = keyed_shuffle_partitions(cfg.shuffle_partitions)
     canonical = (st1.repartition(parts, keys=["bucket"])
                  .map_batches(lambda b: _link_all(b, cap),
                               batch_format="pyarrow", batch_size=None))
+    if prof:
+        canonical = canonical.materialize()
+        print(f"[lsh] link shuffle: {time.time()-t0:.2f}s cumulative",
+              file=sys.stderr)
     from .agg import distinct_by_key
     distinct = distinct_by_key(canonical, "pair_key",
                                approx_count=n_rows,

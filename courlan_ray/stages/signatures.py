@@ -165,7 +165,11 @@ class SignatureActor:
         cap_full = batch["caption_key"] if len(vidx) == n else \
             batch["caption_key"]
 
-        mh_flat = pa.array(minh.view(np.int64).ravel(), pa.int64())
+        # store the low 32 bits of each min-hash: equality comparisons (the
+        # only use — banding keys and Jaccard estimation) are unchanged up
+        # to a 2^-32 collision; storage/shuffle/gather traffic halves
+        mh32 = (minh & _U64(0xFFFFFFFF)).astype(np.uint32)
+        mh_flat = pa.array(mh32.view(np.int32).ravel(), pa.int32())
         minhash_col = pa.FixedSizeListArray.from_arrays(mh_flat, cfg.num_perm)
         fp_offsets = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(fp_counts, out=fp_offsets[1:])

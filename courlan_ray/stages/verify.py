@@ -243,20 +243,32 @@ def _verdicts(cfg: DedupConfig, *, mh_l, mh_r, ph_l, ph_r, sp_l, sp_r,
     }
 
 
-def _verify_broadcast(pairs_ds, sig_ds, cfg: DedupConfig):
+def _verify_broadcast(pairs_ds, sig_ds, cfg: DedupConfig, prof=False):
     """Small-signature path: numpy broadcast pack + searchsorted gather."""
+    import sys
+    import time
+
     from .joins import cached_get
     from ..functions.hashing import hash_strings
 
+    t0 = time.time()
     refs = _pack_signatures(sig_ds, cfg)
+    if prof:
+        print(f"[verify] pack: {time.time()-t0:.2f}s", file=sys.stderr)
 
     def kernel(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return _EMPTY_OUT
         id_hash = cached_get(refs["id_hash"])
-        probe_l = hash_strings(batch["left_id"].to_pylist(), seed=0xA11CE)
-        probe_r = hash_strings(batch["right_id"].to_pylist(), seed=0xA11CE)
+        if "left_h" in batch.schema.names:
+            # pair rows carry their id hashes (stages/lsh._canon_edges) —
+            # no per-batch string materialization
+            probe_l = batch["left_h"].to_numpy(zero_copy_only=False).view(_U64)
+            probe_r = batch["right_h"].to_numpy(zero_copy_only=False).view(_U64)
+        else:
+            probe_l = hash_strings(batch["left_id"].to_pylist(), seed=0xA11CE)
+            probe_r = hash_strings(batch["right_id"].to_pylist(), seed=0xA11CE)
         pos_l = np.clip(np.searchsorted(id_hash, probe_l), 0, max(len(id_hash) - 1, 0))
         pos_r = np.clip(np.searchsorted(id_hash, probe_r), 0, max(len(id_hash) - 1, 0))
         if len(id_hash) == 0:
@@ -317,8 +329,17 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
     Size-adaptive: below ``cfg.verify_broadcast_max`` signature rows the
     signature table is broadcast as numpy blocks; above it signatures
     attach via two partitioned hash joins (no driver materialization)."""
+    import os
+    import sys
+    import time
+
+    prof = bool(os.environ.get("COURLAN_RAY_PROFILE"))
+    t0 = time.time()
     sig_ds = sig_ds.materialize()
     n_sigs = sig_ds.count()
+    if prof:
+        print(f"[verify] sig materialize: {time.time()-t0:.2f}s",
+              file=sys.stderr)
 
     # re-split the candidate output so the verify stage fans out across the
     # cluster — skipped when the input is already well-partitioned (the
@@ -333,10 +354,20 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
         else 0
     if nb < fanout // 2:
         pairs_ds = pairs_ds.repartition(fanout)
+        if prof:
+            pairs_ds = pairs_ds.materialize()
+            print(f"[verify] pair repartition: {time.time()-t0:.2f}s cum",
+                  file=sys.stderr)
 
     if n_sigs <= cfg.verify_broadcast_max:
-        return _verify_broadcast(pairs_ds, sig_ds, cfg)
-    return _verify_joined(pairs_ds, sig_ds, cfg)
+        out = _verify_broadcast(pairs_ds, sig_ds, cfg, prof=prof)
+    else:
+        out = _verify_joined(pairs_ds, sig_ds, cfg)
+    if prof:
+        out = out.materialize()
+        print(f"[verify] kernel: {time.time()-t0:.2f}s cumulative",
+              file=sys.stderr)
+    return out
 
 
 def _verify_joined(pairs_ds, sig_ds, cfg: DedupConfig):
