@@ -32,8 +32,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents for the SQL-expressible queries; extras are
-    intentionally omitted (MinHash/LSH/ANN/union-find are not ANSI-SQL
-    expressible) -> driver records rows-only checks for them."""
+    """DuckDB equivalents for the SQL-expressible queries, including the
+    three SQL-expressible extras (langid, quality, batched kNN).  The
+    remaining extras are intentionally omitted (MinHash/LSH/ANN/union-find
+    are not ANSI-SQL expressible) -> driver records rows-only checks."""
     from courlan_ray.pipelines.queries import ORACLES
-    return dict(ORACLES)
+    from courlan_ray.pipelines.extras import EXTRA_ORACLES
+    return {**ORACLES, **EXTRA_ORACLES}

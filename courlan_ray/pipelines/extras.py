@@ -1,8 +1,14 @@
-"""Non-SQL-expressible query pipelines (driver records rows-only checks).
+"""Query pipelines beyond the core SQL set.
 
-MinHash/LSH clustering, SimHash, winnowing fingerprints, language-ID,
-quality scoring, ANN, embedding near-dup, and the flagship image pipeline
-on the deterministic synthetic table (sized by sf).  All deterministic, so
+Three are DuckDB-oracled (``EXTRA_ORACLES``): language-ID, quality scoring
+and batched kNN — their scoring kernels are pure arithmetic over tokens /
+vectors, so an exact ANSI-SQL twin exists (float rounding is half-up via
+``_round4`` on BOTH sides; numpy's default half-even diverges from DuckDB's
+half-away on exact .00005 boundaries, measured 4-8 docs per 500 at sf0.01).
+
+The rest (MinHash/LSH clustering, SimHash, winnowing fingerprints, LSH ANN,
+embedding near-dup, the flagship image pipeline) are not ANSI-SQL
+expressible -> the driver records rows-only checks.  All deterministic, so
 row counts and values are stable across driver runs.
 """
 
@@ -15,6 +21,12 @@ import pyarrow as pa
 from ..config import DedupConfig
 
 _SF_ROWS = {"0.001": 2000, "0.01": 6000, "0.1": 20000}
+
+
+def _round4(x: np.ndarray) -> np.ndarray:
+    """Round half-up to 4 decimals — bit-identical to the SQL twin
+    ``floor(x * 10000 + 0.5) / 10000`` (IEEE ops in the same order)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 10000 + 0.5) / 10000
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -56,8 +68,8 @@ def doc_simhash(sf_dir: str):
 
 
 def doc_langid(sf_dir: str):
-    """Heuristic language-ID over documents (rows-only; the table's texts
-    are synthetic word soup, so this exercises plumbing + determinism)."""
+    """Heuristic language-ID over documents — stopword-mask scoring, so an
+    exact SQL twin exists (EXTRA_ORACLES['doc_langid'])."""
     from ..functions.textstats import detect_language
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
@@ -65,7 +77,7 @@ def doc_langid(sf_dir: str):
         langs, conf = detect_language(b["text"].to_pylist())
         return pa.table({"doc_id": b["doc_id"], "lang_label": b["lang"],
                          "lang_pred": pa.array(list(langs), pa.string()),
-                         "conf": pa.array(np.round(conf, 4), pa.float64())})
+                         "conf": pa.array(_round4(conf), pa.float64())})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
 
@@ -79,9 +91,9 @@ def doc_quality(sf_dir: str):
         q = quality_scores(b["text"].to_pylist())
         return pa.table({"doc_id": b["doc_id"],
                          "n_tokens": pa.array(q["n_tokens"]),
-                         "stop_ratio": pa.array(np.round(q["stop_ratio"], 4)),
-                         "unique_ratio": pa.array(np.round(q["unique_ratio"], 4)),
-                         "quality": pa.array(np.round(q["quality"], 4))})
+                         "stop_ratio": pa.array(_round4(q["stop_ratio"])),
+                         "unique_ratio": pa.array(_round4(q["unique_ratio"])),
+                         "quality": pa.array(_round4(q["quality"]))})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
 
@@ -116,15 +128,18 @@ def emb_ann_lsh(sf_dir: str):
 
 
 def emb_knn_batch(sf_dir: str):
-    """Brute-force cosine top-5 for 4 fixed query vectors (exact baseline)."""
+    """Brute-force cosine top-5 for query vectors vec_id 0..3 (exact
+    baseline; query_idx = the query's vec_id, so the SQL twin is a cross
+    join against ``WHERE vec_id < 4``)."""
     from ..stages.ann import knn_bruteforce
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qs = []
-    for r in ds.take(4):
-        qs.append(np.asarray(r["embedding"], dtype=np.float64))
+    rows = sorted(ds.filter(expr="vec_id < 4").take(8),
+                  key=lambda r: r["vec_id"])[:4]
+    qs = [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
     out = knn_bruteforce(ds, np.stack(qs), 5)
     df = out.to_pandas()
-    df["cos_sim"] = df["cos_sim"].round(4)
+    df["query_idx"] = np.asarray([rows[i]["vec_id"] for i in df["query_idx"]])
+    df["cos_sim"] = _round4(df["cos_sim"].to_numpy())
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -165,6 +180,106 @@ def image_dedup_clusters(sf_dir: str):
 def image_dedup_counters(sf_dir: str):
     """Reject-reason lineage counters of the flagship pipeline."""
     return _image_pipeline(sf_dir)["counters"].sort("reject_reason")
+
+
+def _sql_word_list(words) -> str:
+    """A DuckDB list literal from a stopword set (single source of truth:
+    textstats._STOPWORDS)."""
+    return "[" + ",".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(words)) + "]"
+
+
+def _build_extra_oracles() -> dict[str, str]:
+    """DuckDB twins for the SQL-expressible extras.
+
+    Tokenizer note: the Python kernels tokenize with ``[^\\W\\d_]+`` over
+    lowercased text (unicode letters); the SQL twin uses ``[a-z]+`` — exact
+    on the ASCII synthetic documents table the driver compares against.
+    Rounding is half-up (``floor(x*10000 + 0.5)/10000``) to mirror
+    ``_round4`` bit-for-bit; see module docstring."""
+    from ..functions.textstats import _LANGS, _STOPWORDS
+
+    all_stops = _sql_word_list(set().union(*_STOPWORDS.values()))
+    score_cols = ",\n                 ".join(
+        f"len(list_filter(toks, x -> list_contains("
+        f"{_sql_word_list(_STOPWORDS[lg])}, x))) AS s_{lg}"
+        for lg in _LANGS)
+    best_expr = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANGS) + ")"
+    pred_case = ("CASE WHEN best = 0 THEN '' "
+                 + " ".join(f"WHEN s_{lg} = best THEN '{lg}'"
+                            for lg in _LANGS) + " END")
+
+    return {
+        "doc_langid": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 regexp_extract_all(lower(text), '[a-z]+(?:''[a-z]+)?') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, lang, len(toks) AS total,
+                 {score_cols}
+          FROM t),
+        b AS (SELECT *, {best_expr} AS best FROM s)
+        SELECT doc_id, lang AS lang_label,
+               {pred_case} AS lang_pred,
+               floor(best / greatest(total, 1)::double * 10000 + 0.5) / 10000
+                 AS conf
+        FROM b""",
+        "doc_quality": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z]+(?:''[a-z]+)?') AS toks,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\\W\\d_]')) AS n_alpha,
+                 len(regexp_extract_all(text, '\\d')) AS n_digit,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_chars, n_alpha, n_digit, n_punct,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks,
+                     x -> list_contains({all_stops}, x))) AS stop_hits,
+                 CASE WHEN len(toks) = 0 THEN 1.0
+                      ELSE len(list_distinct(toks))
+                           / greatest(len(toks), 1)::double END AS unique_ratio
+          FROM t)
+        SELECT doc_id, n_tokens,
+               floor(stop_hits / greatest(n_tokens, 1)::double * 10000 + 0.5)
+                 / 10000 AS stop_ratio,
+               floor(unique_ratio * 10000 + 0.5) / 10000 AS unique_ratio,
+               floor(least(greatest(
+                  0.25 * least(greatest(n_alpha / greatest(n_chars,1)::double
+                                        / 0.7, 0.0), 1.0)
+                + 0.20 * least(greatest(stop_hits / greatest(n_tokens,1)::double
+                                        / 0.3, 0.0), 1.0)
+                + 0.20 * unique_ratio
+                + 0.15 * least(greatest(least(greatest(n_chars/200.0, 0.0), 1.0)
+                               * least(greatest((2000 - n_chars)/1000.0, 0.0),
+                                       1.0), 0.0), 1.0)
+                + 0.10 * (1 - least(greatest(n_punct / greatest(n_chars,1)::double
+                                             / 0.3, 0.0), 1.0))
+                + 0.10 * (1 - least(greatest(n_digit / greatest(n_chars,1)::double
+                                             / 0.3, 0.0), 1.0)),
+                0.0), 1.0) * 10000 + 0.5) / 10000 AS quality
+        FROM s""",
+        "emb_knn_batch": """
+        WITH q AS (SELECT vec_id AS query_idx, embedding AS qe
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT q.query_idx, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qe AS DOUBLE[])) AS c
+              FROM embeddings e CROSS JOIN q),
+        r AS (SELECT query_idx, vec_id, c,
+                     row_number() OVER (PARTITION BY query_idx
+                                        ORDER BY c DESC, vec_id) AS rn
+              FROM s)
+        SELECT query_idx, vec_id,
+               floor(c * 10000 + 0.5) / 10000 AS cos_sim
+        FROM r WHERE rn <= 5""",
+    }
+
+
+EXTRA_ORACLES = _build_extra_oracles()
 
 
 EXTRAS = {
