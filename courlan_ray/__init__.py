@@ -27,10 +27,19 @@ def _enable_hash_shuffle() -> None:
         # parallelism and make aggregators nearly CPU-free — they are
         # merge/IO-bound; explicit repartition/join calls still pass their
         # own partition counts.
+        # 0.025 CPU x partition: a shuffle pool reserves 0.025 x P total
+        # (spread over <=16 aggregator actors).  The flagship DAG runs 2-3
+        # keyed shuffles CONCURRENTLY (LSH bucket link, pair-key distinct,
+        # components grouped_agg), so pools STACK — with the old 0.05 and
+        # P = 8 x CPUs two pools reserved 3.2 of 4 CPUs and the upstream
+        # 1-CPU map tasks never scheduled (observed live: 84% idle host,
+        # 32 aggregators idling, round 2).  Invariant with 0.025 and the
+        # P <= 4 x CPUs clamp (joins.keyed_shuffle_partitions): 3 pools
+        # reserve <= 0.3 x cluster.
         ctx.default_hash_shuffle_parallelism = 16
         ctx.max_hash_shuffle_aggregators = 16
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
-        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.025
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.025
     except Exception:           # pragma: no cover - older/newer ray
         pass
 

@@ -59,18 +59,21 @@ def keyed_shuffle_partitions(requested: int) -> int:
 
     The bound is a DEADLOCK guard, not a balance knob.  A Dataset
     snapshots its DataContext at creation, so the only reliable control
-    at repartition time is P itself: with the package-level aggregator
-    sizing (0.05 CPU per partition, ``courlan_ray.__init__``) the
-    aggregator pool reserves ~0.05 x P CPUs, and at P = 8 x CPUs that is
-    40% of the cluster — upstream 1-CPU map tasks always retain the
-    other 60%.  Unclamped P=64 on a 4-CPU cluster reserved 3.2/4 CPUs
-    and starved the feeding map task forever (observed executor
-    deadlock, test suite round 2)."""
+    at repartition time is P itself.  One shuffle pool reserves
+    ``0.025 x P`` CPUs (package-level aggregator sizing,
+    ``courlan_ray.__init__``) and the flagship DAG runs 2-3 keyed
+    shuffles CONCURRENTLY (LSH bucket link, pair-key distinct,
+    components grouped_agg) whose pools stack, so the budget must hold
+    for the SUM: at P = 4 x CPUs, three pools reserve 0.3 x cluster and
+    upstream 1-CPU map tasks always retain the rest.  The first looser
+    clamp (8 x CPUs at 0.05/partition) let two pools reserve 3.2 of 4
+    CPUs and stalled the 4-CPU scaling run at 84% idle (observed live,
+    round 2)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, min(requested, 8 * cpus))
+    return max(2, min(requested, 4 * cpus))
 
 
 def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,
