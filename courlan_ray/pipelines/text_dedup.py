@@ -71,7 +71,9 @@ def text_signatures(ds, cfg: DedupConfig, *, id_col="doc_id", text_col="text"):
                           fn_constructor_args=(cfg, id_col, text_col),
                           batch_format="pyarrow",
                           batch_size=cfg.signature_batch_size,
-                          concurrency=(1, _pool_size(cfg)), num_cpus=1)
+                          # fixed pool — see stages/signatures.py on why
+                          # the autoscaler's ramp lag loses to idle starts
+                          concurrency=_pool_size(cfg), num_cpus=1)
 
 
 def text_dedup_pipeline(ds, cfg: DedupConfig | None = None, *,

@@ -50,30 +50,30 @@ def join_partitions(requested: int) -> int:
 
 
 def keyed_shuffle_partitions(requested: int) -> int:
-    """Partition count for a keyed ``repartition(P, keys=...)``.
+    """Partition count for a keyed ``repartition(P, keys=...)``: P = CPUs.
 
-    Unlike ``Dataset.join`` (clamped to CPUs above), a keyed hash-shuffle
-    balances better with MORE partitions than CPUs (measured 7.2 s at
-    P=32 vs 10.3 s at P=16 for the same 10M-row shuffle on 16 CPUs), so
-    the clamp is much looser: P <= 8 x CPUs.
+    Measured on the 8M-row / 560MB LSH link shuffle (200k-row flagship):
+    at 16 CPUs link+distinct took 7.1 s at P=16 vs 13.0 s at P=64; at 4
+    CPUs 20.8 s at P=4 vs ~25 s at P=16 — with ≤16 aggregator actors,
+    extra partitions only add per-partition push/finalize overhead, they
+    add no parallelism.  (An earlier note claiming more-partitions-wins
+    was measured under the old 1-CPU-aggregator defaults.)
 
-    The bound is a DEADLOCK guard, not a balance knob.  A Dataset
-    snapshots its DataContext at creation, so the only reliable control
-    at repartition time is P itself.  One shuffle pool reserves
-    ``0.025 x P`` CPUs (package-level aggregator sizing,
-    ``courlan_ray.__init__``) and the flagship DAG runs 2-3 keyed
-    shuffles CONCURRENTLY (LSH bucket link, pair-key distinct,
-    components grouped_agg) whose pools stack, so the budget must hold
-    for the SUM: at P = 4 x CPUs, three pools reserve 0.3 x cluster and
-    upstream 1-CPU map tasks always retain the rest.  The first looser
-    clamp (8 x CPUs at 0.05/partition) let two pools reserve 3.2 of 4
-    CPUs and stalled the 4-CPU scaling run at 84% idle (observed live,
-    round 2)."""
+    P is also the DEADLOCK guard: a Dataset snapshots its DataContext at
+    creation, so the only reliable control at repartition time is P
+    itself.  One shuffle pool reserves ``0.025 x P`` CPUs (package-level
+    aggregator sizing, ``courlan_ray.__init__``) and the flagship DAG
+    runs 2-3 keyed shuffles CONCURRENTLY (LSH bucket link, pair-key
+    distinct, components grouped_agg) whose pools stack; at P = CPUs
+    three pools reserve 0.075 x cluster — upstream 1-CPU map tasks
+    always schedule.  (The looser 8 x CPUs clamp at 0.05/partition let
+    two pools reserve 3.2 of 4 CPUs and stalled the 4-CPU scaling run at
+    84% idle — observed live, round 2.)"""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, min(requested, 4 * cpus))
+    return max(2, min(requested, cpus))
 
 
 def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,
@@ -201,17 +201,91 @@ def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str
         return pairs_ds.map_batches(attach, batch_format="pyarrow",
                                     batch_size=8192)
 
-    left = payload_ds.select_columns(cols).rename_columns(
-        {c: f"{c}_l" for c in cols})
-    right = payload_ds.select_columns(cols).rename_columns(
-        {c: f"{c}_r" for c in cols})
+    # acero (the kernel under Dataset.join) rejects nested non-key columns
+    # ("fixed_size_list<...> is not supported in join non-key field"), so
+    # list-typed payloads ride through the join as binary blobs and are
+    # decoded back right after — pure buffer reinterpretation both ways,
+    # no per-row work.
+    schema = payload_ds.schema()
+    nested = {n: t.value_type for n, t in zip(schema.names, schema.types)
+              if n in payload_cols
+              and (pa.types.is_list(t) or pa.types.is_fixed_size_list(t))}
+    narrow = payload_ds.select_columns(cols)
+    if nested:
+        def enc(batch: pa.Table) -> pa.Table:
+            for c in nested:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(c), c,
+                    _encode_list_col(batch[c]))
+            return batch
+        narrow = narrow.map_batches(enc, batch_format="pyarrow",
+                                    batch_size=None)
+
+    left = narrow.rename_columns({c: f"{c}_l" for c in cols})
+    right = narrow.rename_columns({c: f"{c}_r" for c in cols})
     out = pairs_ds.join(left, join_type="inner",
                         num_partitions=join_partitions(num_partitions),
                         on=("left_id",), right_on=(f"{id_col}_l",))
     out = out.join(right, join_type="inner",
                    num_partitions=join_partitions(num_partitions),
                    on=("right_id",), right_on=(f"{id_col}_r",))
-    return out.drop_columns([f"{id_col}_l", f"{id_col}_r"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # the joins drop their right-side key columns themselves; clean up
+        # any survivor, then decode the binary-packed list payloads
+        for c in (f"{id_col}_l", f"{id_col}_r"):
+            if c in batch.schema.names:
+                batch = batch.drop_columns([c])
+        for c, vt in nested.items():
+            for suffix in ("_l", "_r"):
+                name = c + suffix
+                batch = batch.set_column(
+                    batch.schema.get_field_index(name), name,
+                    _decode_list_col(batch[name], vt))
+        return batch
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _encode_list_col(col) -> pa.Array:
+    """(fixed_size_)list<primitive> -> binary, by reinterpreting the values
+    buffer (no per-row work).  Lists must be null-free (signature columns
+    are)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.binary())
+    npv = np.asarray(arr.flatten().to_numpy(zero_copy_only=False))
+    itemsize = npv.dtype.itemsize
+    if pa.types.is_fixed_size_list(t):
+        eoff = np.arange(n + 1, dtype=np.int64) * t.list_size
+    else:
+        o = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        eoff = o - o[0]
+    boff = (eoff * itemsize).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(boff.tobytes()), pa.py_buffer(npv.tobytes())])
+
+
+def _decode_list_col(col, value_type: pa.DataType) -> pa.ListArray:
+    """Inverse of ``_encode_list_col``: binary -> list<value_type> (always
+    a variable list — downstream kernels flatten + reshape, so the fixed
+    width need not be rematerialized)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    dt = np.dtype(value_type.to_pandas_dtype())
+    if n == 0:
+        return pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                        pa.array([], value_type))
+    bufs = arr.buffers()
+    boff = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset:arr.offset + n + 1]
+    start, end = int(boff[0]), int(boff[-1])
+    vals = np.frombuffer(bufs[2], dtype=np.uint8)[start:end].view(dt)
+    eoff = ((boff.astype(np.int64) - start) // dt.itemsize).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(eoff, pa.int32()),
+                                    pa.array(vals, value_type))
 
 
 def _collect(ds) -> pa.Table:

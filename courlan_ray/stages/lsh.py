@@ -358,11 +358,10 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
                   for i in range(0, max(edges_tbl.num_rows, 1), chunk)]
         return rd.from_arrow(slices)
 
-    # P may exceed the CPU count (keyed repartition balances better with
-    # MORE partitions than CPUs: measured 10.3 s at P=16 vs 7.2 s at P=32
-    # on 16 CPUs) but is clamped to 4 x CPUs so the 2-3 concurrently-live
-    # aggregator pools of this DAG can't starve the upstream map tasks —
-    # see joins.keyed_shuffle_partitions.
+    # P = CPUs: with <=16 aggregator actors, more partitions only add
+    # push/finalize overhead (measured 7.1 s at P=16 vs 13.0 s at P=64
+    # for this shuffle at 16 CPUs) — see joins.keyed_shuffle_partitions,
+    # which is also the concurrent-pool deadlock guard.
     parts = keyed_shuffle_partitions(cfg.shuffle_partitions)
     canonical = (st1.repartition(parts, keys=["bucket"])
                  .map_batches(lambda b: _link_all(b, cap),

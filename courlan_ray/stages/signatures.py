@@ -229,9 +229,11 @@ def compute_signatures(ds, cfg: DedupConfig, *, with_gates: bool = False):
         fn_constructor_args=(cfg, with_gates),
         batch_format="pyarrow",
         batch_size=cfg.signature_batch_size,
-        # autoscaling pool: small inputs don't pay a full-size actor-pool
-        # startup; large inputs ramp to the same max as a fixed pool
-        # (measured equal-or-faster at 100k rows)
-        concurrency=(1, _pool_size(cfg)),
+        # FIXED pool: the autoscaler ramps on queue pressure and reaches
+        # full width too late — measured 12.9 s (fixed 12) vs 20.9 s
+        # (auto 1..12) for the same 200k-row stage at 16 CPUs, and worse
+        # in-pipeline (46.7 s).  Small inputs pay a few idle actor starts;
+        # the scaling bar pays for ramp lag at every cluster size.
+        concurrency=_pool_size(cfg),
         num_cpus=1,
     )

@@ -88,3 +88,23 @@ def test_recall_at_fixtures_scale(tmp_path_factory):
     pairs, _ = synth.truth_tables(n, SEED)
     r = pair_recall(pa.Table.from_pandas(clusters), pairs)
     assert r >= 0.99, r
+
+
+def test_forced_scale_paths_small_cluster(synth_path):
+    """Regression for the round-2 executor stall: force EVERY size-adaptive
+    stage onto its keyed-shuffle scale path simultaneously (exact-dedup
+    shuffle, LSH cross-block link, joined verify, distributed components)
+    so the maximum number of hash-shuffle aggregator pools is live at once
+    on the 4-CPU test cluster.  Stacked pool CPU reservations twice starved
+    the upstream 1-CPU map tasks (84%-idle livelock); the budget invariant
+    lives in joins.keyed_shuffle_partitions + courlan_ray.__init__.
+    Completing at all — with unchanged recall — is the assertion."""
+    import ray.data as rd
+    cfg = DedupConfig(signature_concurrency=2,
+                      lsh_driver_link_max=0,
+                      verify_broadcast_max=0,
+                      driver_cc_max_pairs=0)
+    out = dedup_pipeline(rd.read_parquet(synth_path), cfg)
+    clusters = out["clusters"].to_pandas()
+    pairs, _ = synth.truth_tables(N, SEED)
+    assert pair_recall(pa.Table.from_pandas(clusters), pairs) >= 0.99
