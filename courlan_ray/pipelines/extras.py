@@ -116,6 +116,16 @@ def doc_fingerprints(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def doc_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs (>= 0.5) — the auditable
+    dedup tier.  PPJoin prefix-filtered candidate generation, so it is
+    lossless AND avoids the all-pairs blowup; full DuckDB oracle
+    (EXTRA_ORACLES['doc_ngram_jaccard'])."""
+    from ..stages.ngram_jaccard import ngram_jaccard_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.5, seed=29)
+
+
 def emb_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-5 for 4 fixed query vectors, compared
     against the brute-force baseline schema."""
@@ -262,6 +272,32 @@ def _build_extra_oracles() -> dict[str, str]:
                                              / 0.3, 0.0), 1.0)),
                 0.0), 1.0) * 10000 + 0.5) / 10000 AS quality
         FROM s""",
+        # exact n-gram Jaccard: the blocking is lossless (J >= t > 0 implies
+        # a shared gram), so the naive SQL self-join is a true twin of the
+        # prefix-filtered Ray path; unrounded value gates, output rounded
+        "doc_ngram_jaccard": """
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z]+(?:''[a-z]+)?') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(len(toks) - 2, 0)),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+          FROM t),
+        sz AS (SELECT doc_id, len(grams) AS n FROM g),
+        p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        inter AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+          FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.left_id, i.right_id,
+               floor(i.c / (sa.n + sb.n - i.c)::double * 10000 + 0.5) / 10000
+                 AS jaccard
+        FROM inter i JOIN sz sa ON sa.doc_id = i.left_id
+                     JOIN sz sb ON sb.doc_id = i.right_id
+        WHERE i.c / (sa.n + sb.n - i.c)::double >= 0.5
+        ORDER BY left_id, right_id""",
         "emb_knn_batch": """
         WITH q AS (SELECT vec_id AS query_idx, embedding AS qe
                    FROM embeddings WHERE vec_id < 4),
@@ -288,6 +324,7 @@ EXTRAS = {
     "doc_langid": doc_langid,
     "doc_quality": doc_quality,
     "doc_fingerprints": doc_fingerprints,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
     "emb_knn_batch": emb_knn_batch,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_neardup": emb_neardup,
