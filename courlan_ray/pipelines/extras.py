@@ -153,6 +153,15 @@ def emb_knn_batch(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def emb_neardup_exact(sf_dir: str):
+    """EXACT all-pairs cosine near-dup (>= 0.25) — block-nested-loop
+    matmul over object-store blocks, no driver materialization; full
+    DuckDB oracle (EXTRA_ORACLES['emb_neardup_exact'])."""
+    from ..stages.ann import cosine_pairs_exact
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs_exact(ds, 0.25)
+
+
 def emb_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (hyperplane buckets + verify)."""
     from ..stages.ann import embedding_neardup_pairs
@@ -298,6 +307,17 @@ def _build_extra_oracles() -> dict[str, str]:
                      JOIN sz sb ON sb.doc_id = i.right_id
         WHERE i.c / (sa.n + sb.n - i.c)::double >= 0.5
         ORDER BY left_id, right_id""",
+        # exact cosine pairs: naive SQL self-join is a true twin of the
+        # block-nested-loop Ray path (both exact); same rounding discipline
+        "emb_neardup_exact": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000
+                 AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+        ORDER BY left_id, right_id""",
         "emb_knn_batch": """
         WITH q AS (SELECT vec_id AS query_idx, embedding AS qe
                    FROM embeddings WHERE vec_id < 4),
@@ -328,6 +348,7 @@ EXTRAS = {
     "emb_knn_batch": emb_knn_batch,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_neardup": emb_neardup,
+    "emb_neardup_exact": emb_neardup_exact,
     "image_dedup_clusters": image_dedup_clusters,
     "image_dedup_counters": image_dedup_counters,
 }

@@ -66,14 +66,14 @@ class TextSignatureActor:
 
 
 def text_signatures(ds, cfg: DedupConfig, *, id_col="doc_id", text_col="text"):
-    from ..stages.signatures import _pool_size
-    return ds.map_batches(TextSignatureActor,
-                          fn_constructor_args=(cfg, id_col, text_col),
+    # STATELESS task stage, not an actor pool: unlike the image signature
+    # actors (stages/signatures.py, which amortize decode state), the text
+    # kernel holds nothing per-actor — tasks schedule instantly on free
+    # CPUs and skip the ~1-2 s pool ramp every pipeline run paid.
+    kernel = TextSignatureActor(cfg, id_col, text_col)
+    return ds.map_batches(kernel.__call__,
                           batch_format="pyarrow",
-                          batch_size=cfg.signature_batch_size,
-                          # fixed pool — see stages/signatures.py on why
-                          # the autoscaler's ramp lag loses to idle starts
-                          concurrency=_pool_size(cfg), num_cpus=1)
+                          batch_size=cfg.signature_batch_size)
 
 
 def text_dedup_pipeline(ds, cfg: DedupConfig | None = None, *,

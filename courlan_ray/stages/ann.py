@@ -217,3 +217,85 @@ def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
                                              pa.float64())})
 
     return attached.map_batches(verify, batch_format="pyarrow")
+
+
+# per-worker cache of corpus blocks converted to (ids, normalized matT) —
+# separate from joins._GET_CACHE (bounded at 4) because the exact-pairs
+# kernel cycles through EVERY corpus block per batch
+_BLOCK_CACHE: dict[str, tuple] = {}
+
+
+def _norm_block(ref, id_col: str):
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _BLOCK_CACHE:
+        if len(_BLOCK_CACHE) >= 256:
+            _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+        tbl: pa.Table = ray.get(ref)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        mat = _vecs(tbl, "nvec")
+        _BLOCK_CACHE[key] = (ids, np.ascontiguousarray(mat.T))
+    return _BLOCK_CACHE[key]
+
+
+def cosine_pairs_exact(ds, threshold: float, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """EXACT all-pairs cosine near-dup: every unordered pair with cosine
+    similarity >= ``threshold`` — the auditable tier next to the
+    approximate ``embedding_neardup_pairs`` (LSH buckets).
+
+    Shape: one normalize pass materializes narrow (id, unit-vector) blocks
+    in the OBJECT STORE (never on the driver); each map task then streams
+    the corpus blocks through a (B x D) @ (D x Nb) matmul per block —
+    block-nested-loop cross product, compute O(n^2) by problem definition
+    but memory O(block) per task and zero driver materialization.  Workers
+    cache converted blocks (``_BLOCK_CACHE``), so each corpus block ships
+    to each node once.  Beyond ~10^7 rows the quadratic matmul is the
+    binding cost — use ``embedding_neardup_pairs`` there; this tier is for
+    exact audits of bounded corpora (the same exact-vs-LSH split as
+    ``ngram_jaccard_pairs`` vs MinHash)."""
+
+    def norm_kernel(b: pa.Table) -> pa.Table:
+        v = _vecs(b, vec_col)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        d = v.shape[1] if v.size else 0
+        return pa.table({
+            id_col: b[id_col],
+            "nvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(v.ravel(), pa.float64()), d) if d else
+            pa.array([[]] * b.num_rows, pa.list_(pa.float64()))})
+
+    normed = ds.map_batches(norm_kernel, batch_format="pyarrow").materialize()
+    refs = list(normed.to_arrow_refs())
+
+    def pair_kernel(batch: pa.Table) -> pa.Table:
+        nb = batch.num_rows
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64())})
+        if nb == 0:
+            return empty
+        vb = _vecs(batch, "nvec")
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        ls, rs, ss = [], [], []
+        for ref in refs:
+            ids_c, matT = _norm_block(ref, id_col)
+            if not ids_c.size:
+                continue
+            sims = vb @ matT                           # (B, Nb)
+            mask = (sims >= threshold) & (ids_b[:, None] < ids_c[None, :])
+            i, j = np.nonzero(mask)
+            if i.size:
+                ls.append(ids_b[i])
+                rs.append(ids_c[j])
+                ss.append(sims[i, j])
+        if not ls:
+            return empty
+        sim = np.concatenate(ss)
+        return pa.table({
+            "left_id": pa.array(np.concatenate(ls)),
+            "right_id": pa.array(np.concatenate(rs)),
+            "cos_sim": pa.array(np.floor(sim * 10000 + 0.5) / 10000,
+                                pa.float64())})
+
+    out = normed.map_batches(pair_kernel, batch_format="pyarrow")
+    return out.sort(["left_id", "right_id"])

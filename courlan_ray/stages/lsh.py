@@ -352,8 +352,15 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
         if uniq_idx.size < edges_tbl.num_rows:
             edges_tbl = edges_tbl.take(pa.array(np.sort(uniq_idx), pa.int64()))
         edges_tbl = edges_tbl.drop_columns(["pair_key"])
-        # split into multiple blocks so downstream verify fans out
-        chunk = 100_000
+        # split into ~2xCPU blocks so downstream verify fans out without
+        # needing its own repartition (tiny tables stay one block and
+        # verify skips the fan-out entirely)
+        try:
+            import ray
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        chunk = int(max(8192, -(-edges_tbl.num_rows // (2 * cpus))))
         slices = [edges_tbl.slice(i, chunk)
                   for i in range(0, max(edges_tbl.num_rows, 1), chunk)]
         return rd.from_arrow(slices)

@@ -350,9 +350,12 @@ def verify_pairs(pairs_ds, sig_ds, cfg: DedupConfig):
     except Exception:
         fanout = 16
     from ray.data.dataset import MaterializedDataset
-    nb = pairs_ds.num_blocks() if isinstance(pairs_ds, MaterializedDataset) \
-        else 0
-    if nb < fanout // 2:
+    is_mat = isinstance(pairs_ds, MaterializedDataset)
+    nb = pairs_ds.num_blocks() if is_mat else 0
+    if is_mat and pairs_ds.count() <= 8192:
+        pass        # <= one verify batch: a repartition's AllToAll launch
+                    # (~1.5 s) dwarfs the single-task kernel, skip it
+    elif nb < fanout // 2:
         pairs_ds = pairs_ds.repartition(fanout)
         if prof:
             pairs_ds = pairs_ds.materialize()

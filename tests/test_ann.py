@@ -77,3 +77,28 @@ def test_embedding_neardup_finds_planted_pairs():
     M = {i: v for i, v in zip(ids, vecs)}
     for l, r in found:
         assert float(np.dot(M[l], M[r])) >= 0.95 - 1e-9
+
+
+def test_cosine_pairs_exact_matches_bruteforce():
+    from courlan_ray.stages.ann import cosine_pairs_exact
+    import itertools
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.standard_normal((60, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[10] = vecs[3] * 0.9 + rng.standard_normal(16) * 0.01  # planted
+    ids = np.arange(60, dtype=np.int64)
+    d = 16
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(vecs.ravel(), pa.float32()), d)})
+    out = cosine_pairs_exact(rd.from_arrow(tbl), 0.5).to_pandas()
+    got = {(int(l), int(r)) for l, r in out[["left_id", "right_id"]].values}
+    v64 = np.asarray(
+        tbl["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64).reshape(60, d)
+    v64 /= np.linalg.norm(v64, axis=1, keepdims=True)
+    want = {(i, j) for i, j in itertools.combinations(range(60), 2)
+            if float(v64[i] @ v64[j]) >= 0.5}
+    assert got == want and (3, 10) in got
