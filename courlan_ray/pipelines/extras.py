@@ -137,6 +137,17 @@ def emb_ann_lsh(sf_dir: str):
     return ann_lsh(ds, np.stack(qs), 5, bits=8, n_probes=3, seed=97)
 
 
+def emb_ann_ivf(sf_dir: str):
+    """IVF (sampled spherical k-means) approximate top-5 for the same 4
+    query vectors as emb_ann_lsh — the second ANN scale path."""
+    from ..stages.ann import ann_ivf
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qs = []
+    for r in ds.take(4):
+        qs.append(np.asarray(r["embedding"], dtype=np.float64))
+    return ann_ivf(ds, np.stack(qs), 5, n_centroids=16, n_probe=4, seed=131)
+
+
 def emb_knn_batch(sf_dir: str):
     """Brute-force cosine top-5 for query vectors vec_id 0..3 (exact
     baseline; query_idx = the query's vec_id, so the SQL twin is a cross
@@ -347,6 +358,7 @@ EXTRAS = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "emb_knn_batch": emb_knn_batch,
     "emb_ann_lsh": emb_ann_lsh,
+    "emb_ann_ivf": emb_ann_ivf,
     "emb_neardup": emb_neardup,
     "emb_neardup_exact": emb_neardup_exact,
     "image_dedup_clusters": image_dedup_clusters,

@@ -256,7 +256,7 @@ def cosine_pairs_exact(ds, threshold: float, *, id_col: str = "vec_id",
 
     def norm_kernel(b: pa.Table) -> pa.Table:
         v = _vecs(b, vec_col)
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         d = v.shape[1] if v.size else 0
         return pa.table({
             id_col: b[id_col],
@@ -299,3 +299,118 @@ def cosine_pairs_exact(ds, threshold: float, *, id_col: str = "vec_id",
 
     out = normed.map_batches(pair_kernel, batch_format="pyarrow")
     return out.sort(["left_id", "right_id"])
+
+
+def _spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Deterministic spherical k-means over a (unit-normalized) sample.
+    Returns (C, D) unit centroids.  Pure numpy; the sample is small (the
+    train stage hash-samples the corpus), so this is driver-cheap."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = sample.shape[0]
+    c = min(n_centroids, n)
+    cent = sample[rng.choice(n, size=c, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)           # (n,)
+        for j in range(c):
+            m = assign == j
+            if m.any():
+                v = sample[m].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    cent[j] = v / nv
+    return cent
+
+
+def ann_ivf(ds, queries: np.ndarray, k: int, *, n_centroids: int = 64,
+            n_probe: int = 4, train_max: int = 20_000, iters: int = 8,
+            seed: int = 131, id_col: str = "vec_id",
+            vec_col: str = "embedding"):
+    """IVF approximate top-k: partition the corpus into ``n_centroids``
+    Voronoi cells (spherical k-means trained on a deterministic hash-sample
+    of the corpus), probe each query's ``n_probe`` nearest cells.  Same
+    schema as knn_bruteforce.
+
+    Scale shape mirrors ``ann_lsh``: the centroid matrix and the
+    (cell -> probing queries) mapping are broadcast; each map task assigns
+    its rows to cells with one matmul, drops rows in unprobed cells, scores
+    ONLY the (row, probing query) pairs, and emits a per-batch partial
+    top-k per query.  Training reads a hash-sample (one cheap pass), never
+    the full corpus.  At 10^12 rows the cell assignment would be written
+    once as a partition column and reused across query batches — the
+    stages here are exactly that layout's build + probe."""
+    from ..functions.hashing import hash_strings
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    nq = qn.shape[0]
+
+    # --- train: deterministic hash-sample of the corpus ---
+    n_total = ds.count()
+    stride = max(1, n_total // max(train_max, 1))
+
+    def sample_kernel(b: pa.Table) -> pa.Table:
+        h = hash_strings(b[id_col].to_pylist(), seed=seed)
+        keep = (h % _U64(stride)) == 0
+        t = b.filter(pa.array(keep))
+        v = _vecs(t, vec_col)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        d = v.shape[1] if v.size else 0
+        if not d:
+            return pa.table({"nvec": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({"nvec": pa.FixedSizeListArray.from_arrays(
+            pa.array(v.ravel(), pa.float64()), d)})
+
+    from .joins import _collect
+    sample_tbl = _collect(ds.map_batches(sample_kernel,
+                                         batch_format="pyarrow"))
+    sample = _vecs(sample_tbl, "nvec") if sample_tbl.num_rows else \
+        np.zeros((0, qn.shape[1]))
+    cent = _spherical_kmeans(sample, n_centroids, iters, seed + 1)
+
+    # --- probe map: cell -> probing queries, flat sorted broadcast ---
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :min(n_probe, cent.shape[0])]
+    pair_arr = np.array(sorted({(int(c), qi) for qi in range(nq)
+                                for c in probe[qi]}), dtype=np.int64)
+    w_cells, w_starts = np.unique(pair_arr[:, 0], return_index=True)
+    w_offsets = np.append(w_starts, pair_arr.shape[0])
+    cref = ray.put(np.ascontiguousarray(cent.T))              # (D, C)
+    mref = ray.put((w_cells, w_offsets, pair_arr[:, 1].copy()))
+    qref = ray.put(qn.T)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_idx": pa.array([], pa.int64()),
+                          id_col: pa.array([], batch[id_col].type),
+                          "cos_sim": pa.array([], pa.float64())})
+        centT = cached_get(cref)
+        wb, woff, wq = cached_get(mref)
+        vecs = _vecs(batch, vec_col)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                               1e-12)
+        cells = np.argmax(vn @ centT, axis=1)
+        pos = np.clip(np.searchsorted(wb, cells), 0, max(wb.size - 1, 0))
+        hit = (wb[pos] == cells) if wb.size else np.zeros(len(cells), bool)
+        if not hit.any():
+            return empty
+        rows = np.flatnonzero(hit)
+        p = pos[hit]
+        counts = woff[p + 1] - woff[p]
+        flat_rows = np.repeat(rows, counts)
+        flat_q = wq[np.repeat(woff[p], counts) + _ranges_local(counts)]
+        sims_all = vn[rows] @ cached_get(qref)
+        row_local = np.repeat(np.arange(rows.size), counts)
+        flat_sims = sims_all[row_local, flat_q]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        import pandas as pd
+        df = pd.DataFrame({"query_idx": flat_q, id_col: ids[flat_rows],
+                           "cos_sim": flat_sims})
+        df = (df.sort_values(["query_idx", "cos_sim", id_col],
+                             ascending=[True, False, True])
+                .groupby("query_idx").head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["query_idx", "cos_sim", id_col],
+                             ascending=[True, False, True])
+           .groupby("query_idx").head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

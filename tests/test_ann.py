@@ -102,3 +102,32 @@ def test_cosine_pairs_exact_matches_bruteforce():
     want = {(i, j) for i, j in itertools.combinations(range(60), 2)
             if float(v64[i] @ v64[j]) >= 0.5}
     assert got == want and (3, 10) in got
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    from courlan_ray.stages.ann import ann_ivf, knn_bruteforce
+    ids, vecs = _corpus()
+    ds = _ds(ids, vecs)
+    q = vecs[:6]
+    exact = knn_bruteforce(ds, q, 3).to_pandas()
+    approx = ann_ivf(ds, q, 3, n_centroids=16, n_probe=4,
+                     train_max=1000, seed=5).to_pandas()
+    e = exact.groupby("query_idx")["vec_id"].apply(set)
+    a = approx.groupby("query_idx")["vec_id"].apply(set)
+    recall = np.mean([len(a.get(i, set()) & e[i]) / len(e[i])
+                      for i in e.index])
+    # 4 of 16 probed cells: own-vector + planted near-dup should be found
+    assert recall >= 0.6
+    # reported sims are exact cosines
+    merged = approx.merge(exact, on=["query_idx", "vec_id"],
+                          suffixes=("_a", "_e"))
+    assert np.allclose(merged["cos_sim_a"], merged["cos_sim_e"])
+
+
+def test_ann_ivf_deterministic():
+    from courlan_ray.stages.ann import ann_ivf
+    ids, vecs = _corpus(n=100, n_dup=5)
+    q = vecs[:2]
+    a = ann_ivf(_ds(ids, vecs), q, 3, n_centroids=8, seed=5).to_pandas()
+    b = ann_ivf(_ds(ids, vecs), q, 3, n_centroids=8, seed=5).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
