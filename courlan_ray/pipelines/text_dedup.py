@@ -71,9 +71,12 @@ def text_signatures(ds, cfg: DedupConfig, *, id_col="doc_id", text_col="text"):
     # kernel holds nothing per-actor — tasks schedule instantly on free
     # CPUs and skip the ~1-2 s pool ramp every pipeline run paid.
     kernel = TextSignatureActor(cfg, id_col, text_col)
+    # 256-doc batches: the shingle/minhash kernels saturate vectorization
+    # far below that (~50k flat elements), and the image default (1024,
+    # sized for decode cost) left a 5k-doc corpus on 5 of 32 CPUs
     return ds.map_batches(kernel.__call__,
                           batch_format="pyarrow",
-                          batch_size=cfg.signature_batch_size)
+                          batch_size=min(cfg.signature_batch_size, 256))
 
 
 def text_dedup_pipeline(ds, cfg: DedupConfig | None = None, *,
