@@ -164,6 +164,29 @@ def emb_knn_batch(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def events_asof_prev_click(sf_dir: str):
+    """AS-OF join (custom operator, stages/asof.py): each event joined to
+    the same user's most recent STRICTLY-prior click.  Full DuckDB oracle
+    (native ASOF JOIN)."""
+    from ..stages.asof import asof_join
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'")
+
+    def mk(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "prev_click_ts": b["ts"],
+                         "prev_click_value": b["value"]})
+
+    clicks = clicks.map_batches(mk, batch_format="pyarrow")
+    ev = ev.select_columns(["event_id", "ts", "user_id"])
+    out = asof_join(ev, clicks, on="ts", by="user_id",
+                    left_cols=["event_id"],
+                    right_cols=["prev_click_ts", "prev_click_value"],
+                    strict=True, right_suffix="")
+    return out.sort("event_id")
+
+
 def emb_neardup_exact(sf_dir: str):
     """EXACT all-pairs cosine near-dup (>= 0.25) — block-nested-loop
     matmul over object-store blocks, no driver materialization; full
@@ -318,6 +341,14 @@ def _build_extra_oracles() -> dict[str, str]:
                      JOIN sz sb ON sb.doc_id = i.right_id
         WHERE i.c / (sa.n + sb.n - i.c)::double >= 0.5
         ORDER BY left_id, right_id""",
+        "events_asof_prev_click": """
+        SELECT e.event_id, e.user_id, e.ts,
+               c.ts AS prev_click_ts, c.value AS prev_click_value
+        FROM events e ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts > c.ts
+        ORDER BY e.event_id""",
         # exact cosine pairs: naive SQL self-join is a true twin of the
         # block-nested-loop Ray path (both exact); same rounding discipline
         "emb_neardup_exact": """
@@ -356,6 +387,7 @@ EXTRAS = {
     "doc_quality": doc_quality,
     "doc_fingerprints": doc_fingerprints,
     "doc_ngram_jaccard": doc_ngram_jaccard,
+    "events_asof_prev_click": events_asof_prev_click,
     "emb_knn_batch": emb_knn_batch,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,

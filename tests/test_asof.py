@@ -1,0 +1,57 @@
+"""As-of join stage: equivalence with pandas.merge_asof on random data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from courlan_ray.stages.asof import asof_join
+
+
+def _frames(seed=3, n_l=400, n_r=150, n_keys=12):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_l).astype(np.int64),
+        "t": rng.integers(0, 10_000, n_l).astype(np.int64),
+        "lid": np.arange(n_l, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_keys + 3, n_r).astype(np.int64),  # some keys
+        "t": rng.integers(0, 10_000, n_r).astype(np.int64),      # left-only
+        "rv": rng.random(n_r)})
+    # merge_asof ties are ambiguous when (k, t) duplicates exist on the
+    # right — drop them so both implementations have a unique answer
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    return left, right
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_matches_pandas(strict):
+    left, right = _frames()
+    got = asof_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        on="t", by="k", left_cols=["lid"], right_cols=["rv"],
+        strict=strict, right_suffix="").to_pandas()
+    got = got.sort_values("lid").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="k", allow_exact_matches=not strict, direction="backward")
+    want = want.sort_values("lid").reset_index(drop=True)
+
+    assert len(got) == len(left)
+    lhs = got.set_index("lid")["rv"]
+    rhs = want.set_index("lid")["rv"]
+    assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all()
+
+
+def test_asof_no_right_rows():
+    left, right = _frames()
+    got = asof_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right.iloc[:0],
+                                           preserve_index=False)),
+        on="t", by="k", left_cols=["lid"], right_cols=["rv"],
+        right_suffix="").to_pandas()
+    assert len(got) == len(left) and got["rv"].isna().all()
