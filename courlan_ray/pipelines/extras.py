@@ -164,6 +164,27 @@ def emb_knn_batch(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+_PRICE_BANDS = [  # (lo, hi, band) — half-open [lo, hi); overlap-capable
+    (0.0, 100_000.0, "low"),
+    (100_000.0, 250_000.0, "mid"),
+    (250_000.0, 600_000.0, "high"),
+    (400_000.0, 600_000.0, "premium"),   # overlaps "high" deliberately
+]
+
+
+def orders_price_bands(sf_dir: str):
+    """Range join (custom operator, stages/rangejoin.py): orders against a
+    broadcast price-interval table — overlapping bands duplicate the row
+    (inner-join semantics).  Full DuckDB oracle (BETWEEN-style join)."""
+    from ..stages.rangejoin import range_join_broadcast
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    iv = pa.table({"lo": pa.array([b[0] for b in _PRICE_BANDS]),
+                   "hi": pa.array([b[1] for b in _PRICE_BANDS]),
+                   "band": pa.array([b[2] for b in _PRICE_BANDS])})
+    out = range_join_broadcast(ds, iv, "o_totalprice", closed="left")
+    return out.sort(["o_orderkey", "band"])
+
+
 def events_asof_prev_click(sf_dir: str):
     """AS-OF join (custom operator, stages/asof.py): each event joined to
     the same user's most recent STRICTLY-prior click.  Full DuckDB oracle
@@ -341,6 +362,14 @@ def _build_extra_oracles() -> dict[str, str]:
                      JOIN sz sb ON sb.doc_id = i.right_id
         WHERE i.c / (sa.n + sb.n - i.c)::double >= 0.5
         ORDER BY left_id, right_id""",
+        "orders_price_bands": """
+        WITH bands(lo, hi, band) AS (VALUES
+          (0.0, 100000.0, 'low'), (100000.0, 250000.0, 'mid'),
+          (250000.0, 600000.0, 'high'), (400000.0, 600000.0, 'premium'))
+        SELECT o.o_orderkey, o.o_totalprice, b.band
+        FROM orders o JOIN bands b
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        ORDER BY o.o_orderkey, b.band""",
         "events_asof_prev_click": """
         SELECT e.event_id, e.user_id, e.ts,
                c.ts AS prev_click_ts, c.value AS prev_click_value
@@ -388,6 +417,7 @@ EXTRAS = {
     "doc_fingerprints": doc_fingerprints,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "events_asof_prev_click": events_asof_prev_click,
+    "orders_price_bands": orders_price_bands,
     "emb_knn_batch": emb_knn_batch,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,

@@ -55,3 +55,18 @@ def test_asof_no_right_rows():
         on="t", by="k", left_cols=["lid"], right_cols=["rv"],
         right_suffix="").to_pandas()
     assert len(got) == len(left) and got["rv"].isna().all()
+
+
+def test_range_join_broadcast_semantics():
+    from courlan_ray.stages.rangejoin import range_join_broadcast
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+        "v": pa.array([5.0, 10.0, 15.0, 99.0])}))
+    iv = pa.table({"lo": pa.array([0.0, 10.0, 12.0]),
+                   "hi": pa.array([10.0, 20.0, 16.0]),
+                   "band": pa.array(["a", "b", "c"])})
+    out = range_join_broadcast(ds, iv, "v", closed="left").to_pandas()
+    got = sorted(zip(out["id"], out["band"]))
+    # v=5 -> a; v=10 -> b (half-open); v=15 -> b AND c (overlap);
+    # v=99 -> dropped (no interval)
+    assert got == [(0, "a"), (1, "b"), (2, "b"), (2, "c")]
