@@ -195,6 +195,11 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
             pk = hash_u64_pair(li.astype(_U64), ri.astype(_U64))
             _, ui = np.unique(pk, return_index=True)
             li, ri = li[ui], ri[ui]
+        # li/ri order by table POSITION; with a multi-block read that is
+        # not id order — canonicalize to left_id < right_id by VALUE (the
+        # scale path's pair kernel orders by value already)
+        sw = ids[li] > ids[ri]
+        li, ri = np.where(sw, ri, li), np.where(sw, li, ri)
         out = _verify_pairs(ids[li], ids[ri],
                             [arrs[i] for i in li], [arrs[i] for i in ri],
                             threshold)

@@ -63,3 +63,20 @@ def test_scale_path_equals_driver_path():
 def test_exact_dup_scores_one():
     pairs = {(l, r): j for l, r, j in _run(0.99, driver_max=100_000)}
     assert pairs[(0, 3)] == 1.0
+
+
+@pytest.mark.slow
+def test_scale_path_parity_on_real_corpus():
+    """Driver path vs keyed-shuffle path on the sf0.01 documents table
+    (500 docs, 25 planted near-dup pairs)."""
+    import ray.data as rd
+
+    def run(driver_max):
+        ds = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                             columns=["doc_id", "text"])
+        out = ngram_jaccard_pairs(ds, n=3, threshold=0.5,
+                                  driver_max=driver_max).to_pandas()
+        return sorted(zip(out["left_id"], out["right_id"], out["jaccard"]))
+
+    a, b = run(100_000), run(0)
+    assert a == b and len(a) == 25
