@@ -185,6 +185,19 @@ def orders_price_bands(sf_dir: str):
     return out.sort(["o_orderkey", "band"])
 
 
+def events_rolling_1h(sf_dir: str):
+    """Rolling 1-hour window per user (custom operator, stages/window.py):
+    count + sum of the user's events in [ts - 1h, ts].  Full DuckDB oracle
+    (RANGE BETWEEN window frame)."""
+    from ..stages.window import rolling_window_agg
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    # events ts is timestamp[us] -> width in microseconds
+    out = rolling_window_agg(ds, on="ts", by="user_id", value_col="value",
+                             width_ns=3_600_000_000,
+                             keep_cols=["event_id"])
+    return out.sort("event_id")
+
+
 def events_asof_prev_click(sf_dir: str):
     """AS-OF join (custom operator, stages/asof.py): each event joined to
     the same user's most recent STRICTLY-prior click.  Full DuckDB oracle
@@ -362,6 +375,16 @@ def _build_extra_oracles() -> dict[str, str]:
                      JOIN sz sb ON sb.doc_id = i.right_id
         WHERE i.c / (sa.n + sb.n - i.c)::double >= 0.5
         ORDER BY left_id, right_id""",
+        "events_rolling_1h": """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_window,
+               floor(sum(value) OVER w * 1000000 + 0.5) / 1000000
+                 AS sum_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY event_id""",
         "orders_price_bands": """
         WITH bands(lo, hi, band) AS (VALUES
           (0.0, 100000.0, 'low'), (100000.0, 250000.0, 'mid'),
@@ -418,6 +441,7 @@ EXTRAS = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
+    "events_rolling_1h": events_rolling_1h,
     "emb_knn_batch": emb_knn_batch,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,

@@ -70,3 +70,24 @@ def test_range_join_broadcast_semantics():
     # v=5 -> a; v=10 -> b (half-open); v=15 -> b AND c (overlap);
     # v=99 -> dropped (no interval)
     assert got == [(0, "a"), (1, "b"), (2, "b"), (2, "c")]
+
+
+def test_rolling_window_matches_bruteforce():
+    from courlan_ray.stages.window import rolling_window_agg
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 8, n).astype(np.int64),
+        "t": rng.integers(0, 5_000, n).astype(np.int64),
+        "v": np.round(rng.random(n) * 100, 2)})
+    out = rolling_window_agg(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        on="t", by="k", value_col="v", width_ns=300,
+        keep_cols=["id"]).to_pandas().set_index("id").sort_index()
+    # brute force: all rows of same key with t in [t_i - 300, t_i]
+    for i in df.sample(60, random_state=0).index:
+        r = df.loc[i]
+        m = df[(df.k == r.k) & (df.t >= r.t - 300) & (df.t <= r.t)]
+        assert out.loc[r.id, "n_window"] == len(m)
+        assert abs(out.loc[r.id, "sum_window"] - m.v.sum()) < 1e-6
