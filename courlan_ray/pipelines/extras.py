@@ -198,6 +198,18 @@ def events_rolling_1h(sf_dir: str):
     return out.sort("event_id")
 
 
+def events_sessionize(sf_dir: str):
+    """Gap-based sessionization (custom operator, stages/window.py):
+    a new session per user when the inter-event gap exceeds 30 minutes.
+    Full DuckDB oracle (lag + running-sum window)."""
+    from ..stages.window import sessionize
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = sessionize(ds, on="ts", by="user_id",
+                     gap_ns=1_800_000_000,        # ts is timestamp[us]
+                     keep_cols=["event_id"])
+    return out.sort("event_id")
+
+
 def events_asof_prev_click(sf_dir: str):
     """AS-OF join (custom operator, stages/asof.py): each event joined to
     the same user's most recent STRICTLY-prior click.  Full DuckDB oracle
@@ -375,6 +387,22 @@ def _build_extra_oracles() -> dict[str, str]:
                      JOIN sz sb ON sb.doc_id = i.right_id
         WHERE i.c / (sa.n + sb.n - i.c)::double >= 0.5
         ORDER BY left_id, right_id""",
+        "events_sessionize": """
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT event_id, user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_num
+          FROM g)
+        SELECT event_id, user_id, ts, session_num,
+               user_id || '#' || session_num AS session_id
+        FROM s ORDER BY event_id""",
         "events_rolling_1h": """
         SELECT event_id, user_id, ts,
                count(*) OVER w AS n_window,
@@ -442,6 +470,7 @@ EXTRAS = {
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
     "events_rolling_1h": events_rolling_1h,
+    "events_sessionize": events_sessionize,
     "emb_knn_batch": emb_knn_batch,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,

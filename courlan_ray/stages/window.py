@@ -81,3 +81,59 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
     parts = keyed_shuffle_partitions(num_partitions)
     return (ds.repartition(parts, keys=[by])
               .map_batches(kernel, batch_format="pyarrow", batch_size=None))
+
+
+def sessionize(ds, *, on: str, by: str, gap_ns: int,
+               keep_cols: list[str] | None = None,
+               num_partitions: int = 64):
+    """Gap-based sessionization: per key (ordered by t), a new session
+    starts when the gap to the previous row exceeds ``gap_ns``.  Emits
+    ``keep_cols`` + ``by`` + ``on`` + ``session_num`` (1-based per key)
+    + ``session_id`` (key-qualified string).  Same single-keyed-shuffle
+    shape and partitioning assumption as ``rolling_window_agg``."""
+    from .joins import keyed_shuffle_partitions, safe_combine
+
+    keep = keep_cols or []
+
+    def kernel(b: pa.Table) -> pa.Table:
+        b = safe_combine(b)
+        n = b.num_rows
+        if n == 0:
+            return pa.table({
+                **{c: b[c] for c in keep + [by, on]},
+                "session_num": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.string())})
+        keys = b[by].to_numpy(zero_copy_only=False)
+        t_np = b[on].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(b[on], pa.ChunkedArray) \
+            else b[on].to_numpy(zero_copy_only=False)
+        ts = t_np.view("int64") if t_np.dtype.kind == "M" \
+            else t_np.astype(np.int64)
+
+        order = np.lexsort((ts, keys))
+        ks, tss = keys[order], ts[order]
+        new = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_key = ks[1:] == ks[:-1]
+            small_gap = (tss[1:] - tss[:-1]) <= gap_ns
+            new[1:] = (~(same_key & small_gap)).astype(np.int64)
+        # per-key 1-based session ordinal: global cumsum minus the key's
+        # offset (first row of each key restarts the count)
+        cum = np.cumsum(new)
+        first_of_key = np.ones(n, dtype=bool)
+        if n > 1:
+            first_of_key[1:] = ks[1:] != ks[:-1]
+        key_base = np.maximum.accumulate(np.where(first_of_key, cum - 1, 0))
+        sess = cum - key_base
+
+        out = b.take(pa.array(order, pa.int64()))
+        cols = {c: out[c] for c in keep + [by, on]}
+        cols["session_num"] = pa.array(sess, pa.int64())
+        cols["session_id"] = pa.array(
+            [f"{k}#{s}" for k, s in zip(ks.tolist(), sess.tolist())],
+            pa.string())
+        return pa.table(cols)
+
+    parts = keyed_shuffle_partitions(num_partitions)
+    return (ds.repartition(parts, keys=[by])
+              .map_batches(kernel, batch_format="pyarrow", batch_size=None))

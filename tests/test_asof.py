@@ -91,3 +91,28 @@ def test_rolling_window_matches_bruteforce():
         m = df[(df.k == r.k) & (df.t >= r.t - 300) & (df.t <= r.t)]
         assert out.loc[r.id, "n_window"] == len(m)
         assert abs(out.loc[r.id, "sum_window"] - m.v.sum()) < 1e-6
+
+
+def test_sessionize_bruteforce():
+    from courlan_ray.stages.window import sessionize
+    rng = np.random.default_rng(4)
+    n = 300
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 6, n).astype(np.int64),
+        "t": rng.integers(0, 3_000, n).astype(np.int64)})
+    df = df.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    out = sessionize(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        on="t", by="k", gap_ns=50, keep_cols=["id"]).to_pandas()
+    out = out.set_index("id")
+    for k, g in df.sort_values("t").groupby("k"):
+        want, prev, s = {}, None, 0
+        for _, r in g.iterrows():
+            if prev is None or r.t - prev > 50:
+                s += 1
+            want[r.id] = s
+            prev = r.t
+        for rid, sess in want.items():
+            assert out.loc[rid, "session_num"] == sess
+            assert out.loc[rid, "session_id"] == f"{k}#{sess}"
