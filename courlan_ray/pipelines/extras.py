@@ -397,8 +397,9 @@ def _build_extra_oracles() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         s AS (
           SELECT event_id, user_id, ts,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING) AS session_num
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_num
           FROM g)
         SELECT event_id, user_id, ts, session_num,
                user_id || '#' || session_num AS session_id
