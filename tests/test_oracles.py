@@ -14,7 +14,7 @@ import pytest
 from courlan_ray.pipelines.extras import EXTRA_ORACLES, EXTRAS
 
 SF = "/root/testdata/sf0.01"
-_TABLES = ("documents", "embeddings")
+_TABLES = ("documents", "embeddings", "events", "orders")
 
 
 def _oracle_df(sql: str) -> pd.DataFrame:
