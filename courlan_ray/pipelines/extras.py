@@ -251,6 +251,53 @@ def emb_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, DedupConfig(), threshold=0.25, bits=6)
 
 
+def doc_training_prep(sf_dir: str):
+    """END-TO-END training-data prep over documents — the composition a
+    real corpus pipeline runs, chained from the engine's own stages:
+
+      language/quality gates -> text near-dup clustering (MinHash-LSH +
+      fingerprints, pipelines/text_dedup.py) -> one representative per
+      cluster -> token stats on the survivors.
+
+    Output: one row per KEPT doc (cluster representative passing gates)
+    with lang_pred, quality, n_tokens, cluster_size.  Deterministic;
+    rows-only driver check (clustering is not SQL-expressible)."""
+    from ..functions.textstats import detect_language, quality_scores
+    from .text_dedup import text_dedup_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        langs, conf = detect_language(texts)
+        q = quality_scores(texts)
+        keep = (conf >= 0.05) & (q["quality"] >= 0.3) & (q["n_tokens"] >= 10)
+        t = pa.table({
+            "doc_id": b["doc_id"], "text": b["text"],
+            "lang_pred": pa.array(list(langs), pa.string()),
+            "quality": pa.array(_round4(q["quality"])),
+            "n_tokens": pa.array(q["n_tokens"]),
+        })
+        return t.filter(pa.array(keep))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow").materialize()
+    out = text_dedup_pipeline(gated.select_columns(["doc_id", "text"]),
+                              DedupConfig())
+    reps = (out["clusters"]
+            .filter(expr="is_representative == True")
+            .select_columns(["image_id", "cluster_size"]))
+    from ..stages.joins import attach_by_key
+
+    def add_key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.append_column("image_id", pc.cast(b["doc_id"], pa.string()))
+
+    keyed = gated.drop_columns(["text"]).map_batches(add_key,
+                                                     batch_format="pyarrow")
+    joined = attach_by_key(keyed, reps, ["image_id"])   # inner: reps only
+    return joined.drop_columns(["image_id"]).sort("doc_id")
+
+
 _IMG_MEMO: dict[str, dict] = {}
 
 
@@ -472,6 +519,7 @@ EXTRAS = {
     "orders_price_bands": orders_price_bands,
     "events_rolling_1h": events_rolling_1h,
     "events_sessionize": events_sessionize,
+    "doc_training_prep": doc_training_prep,
     "emb_knn_batch": emb_knn_batch,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_ivf": emb_ann_ivf,
