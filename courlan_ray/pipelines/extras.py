@@ -98,6 +98,26 @@ def doc_quality(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def doc_simhash_pairs(sf_dir: str):
+    """SimHash Hamming-ball near-dup pairs (<= 3 bits) — exact by
+    pigeonhole banding + per-pair Hamming verify (stages/simhash_pairs.py).
+    Rows-only driver check (simhash is not SQL-expressible); planted-truth
+    brute-force equivalence in tests/test_simhash_pairs.py."""
+    from ..stages.simhash_pairs import simhash_hamming_pairs
+    sig = doc_simhash(sf_dir).drop_columns(["shingles"])
+
+    def to_i64(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vals = np.array([int(s, 16) for s in b["simhash"].to_pylist()],
+                        dtype=np.uint64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "simhash": pa.array(vals.view(np.int64), pa.int64())})
+
+    return simhash_hamming_pairs(sig.map_batches(to_i64,
+                                                 batch_format="pyarrow"),
+                                 max_ham=3)
+
+
 def doc_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (rolling-hash selection)."""
     from ..functions.hashing import winnowing_fingerprints
@@ -511,6 +531,7 @@ EXTRA_ORACLES = _build_extra_oracles()
 EXTRAS = {
     "doc_minhash_clusters": doc_minhash_clusters,
     "doc_simhash": doc_simhash,
+    "doc_simhash_pairs": doc_simhash_pairs,
     "doc_langid": doc_langid,
     "doc_quality": doc_quality,
     "doc_fingerprints": doc_fingerprints,
