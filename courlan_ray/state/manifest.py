@@ -99,8 +99,15 @@ class Checkpoint:
         os.replace(tmp_dir, out_dir)
         result = rd.read_parquet(out_dir)
         files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+        # per-PARTITION lineage (north_rule): one record per output file
+        # with its row count (parquet footer metadata only — no data read),
+        # so a resumed run can audit exactly which partitions exist
+        import pyarrow.parquet as pq
+        parts = {f: pq.read_metadata(os.path.join(out_dir, f)).num_rows
+                 for f in files}
         self._record(name, status="computed", out_dir=out_dir,
                      rows=result.count(), n_files=len(files),
+                     partition_rows=parts,
                      wall_sec=round(time.time() - t0, 3))
         with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
             fh.write(self.stage_fingerprint(name))
