@@ -174,7 +174,11 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
         return pa.table({id_col: b[id_col], "n_grams": pa.array(counts),
                          "grams": grams})
 
-    sig = ds.map_batches(sig_kernel, batch_format="pyarrow").materialize()
+    # 256-doc batches: tokenization/hashing saturates vectorization well
+    # below this; larger batches underparallelize small corpora (cf.
+    # pipelines/text_dedup.text_signatures)
+    sig = ds.map_batches(sig_kernel, batch_format="pyarrow",
+                         batch_size=256).materialize()
     n_docs = sig.count()
 
     if n_docs <= driver_max:

@@ -1,17 +1,22 @@
-"""Rolling (sliding) time-window aggregate per key.
+"""Rolling (sliding) time-window aggregate per key + sessionization.
 
 ``SUM/COUNT OVER (PARTITION BY key ORDER BY t RANGE BETWEEN width
 PRECEDING AND CURRENT ROW)`` — the streaming-window operator Ray Data
 lacks (its groupby windows are tumbling only via key truncation, cf.
 pipelines/queries.events_window).
 
-Shape: ONE keyed hash-shuffle ``repartition(P, keys=[by])`` co-locates
+Shape: ONE keyed hash-shuffle ``repartition(P, keys=...)`` co-locates
 each key, then a per-partition vectorized kernel sorts by (key, t) once
 and computes every row's window with prefix sums + one ``searchsorted``
-per key group (O(n log n) per partition, no per-row Python).  Same
-partitioning assumption as stages/asof.py: one key's rows fit a
-partition; a hot key would need time-range sub-splitting with
-width-sized boundary replication (not implemented).
+per key group (O(n log n) per partition, no per-row Python).
+
+Hot keys: by default one key's rows must fit a partition (same
+assumption as stages/asof.py).  Passing ``chunk_ns >= width_ns`` lifts
+it — rows are split into time chunks of ``chunk_ns``, rows within
+``width_ns`` of a chunk's end are REPLICATED into the next chunk (they
+can fall inside next-chunk windows), and the shuffle key becomes
+(key, chunk), so a hot key spreads over ceil(span/chunk_ns) partitions.
+Replicas contribute to sums but are not emitted; totals are exact.
 """
 
 from __future__ import annotations
@@ -28,16 +33,45 @@ def _round6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1_000_000 + 0.5) / 1_000_000
 
 
+def _ts_i64(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    return np_arr.view("int64") if np_arr.dtype.kind == "M" \
+        else np_arr.astype(np.int64)
+
+
 def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
                        width_ns: int, keep_cols: list[str] | None = None,
-                       num_partitions: int = 64):
+                       num_partitions: int = 64,
+                       chunk_ns: int | None = None):
     """Per row: count and sum of the same key's rows with
     ``t in [row.t - width, row.t]`` (inclusive both ends, matching SQL
     RANGE BETWEEN ... PRECEDING AND CURRENT ROW).  Emits ``keep_cols`` +
-    ``by`` + ``on`` + ``n_window`` + ``sum_window``."""
+    ``by`` + ``on`` + ``n_window`` + ``sum_window``.
+
+    ``chunk_ns``: optional hot-key time-splitting (see module docstring);
+    must be >= ``width_ns``."""
     from .joins import keyed_shuffle_partitions, safe_combine
 
+    if chunk_ns is not None and chunk_ns < width_ns:
+        raise ValueError("chunk_ns must be >= width_ns (a window may span "
+                         "at most one chunk boundary)")
     keep = keep_cols or []
+    chunked = chunk_ns is not None
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = _ts_i64(b[on])
+        chunk = ts // chunk_ns
+        main = b.append_column("__chunk", pa.array(chunk, pa.int64()))
+        main = main.append_column("__main",
+                                  pa.array(np.ones(b.num_rows, dtype=bool)))
+        near_end = ts >= (chunk + 1) * chunk_ns - width_ns
+        rep = b.filter(pa.array(near_end))
+        rep = rep.append_column("__chunk",
+                                pa.array(chunk[near_end] + 1, pa.int64()))
+        rep = rep.append_column("__main",
+                                pa.array(np.zeros(rep.num_rows, dtype=bool)))
+        return pa.concat_tables([main, rep])
 
     def kernel(b: pa.Table) -> pa.Table:
         b = safe_combine(b)
@@ -48,17 +82,22 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
                 "n_window": pa.array([], pa.int64()),
                 "sum_window": pa.array([], pa.float64())})
         keys = b[by].to_numpy(zero_copy_only=False)
-        t_np = b[on].combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(b[on], pa.ChunkedArray) \
-            else b[on].to_numpy(zero_copy_only=False)
-        ts = t_np.view("int64") if t_np.dtype.kind == "M" \
-            else t_np.astype(np.int64)
-        # timestamp columns may be s/ms/us/ns — normalize width at call
-        # site; here ts is whatever unit the column carries
+        ts = _ts_i64(b[on])
         vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if chunked:
+            # group on (key, chunk): several groups of one key may share a
+            # partition, and replicas must never mix across chunks
+            from ..functions.hashing import hash_u64_pair
+            chunkv = b["__chunk"].to_numpy(zero_copy_only=False)
+            gkey = hash_u64_pair(keys.astype(np.uint64),
+                                 chunkv.astype(np.uint64)).view(np.int64)
+            is_main = b["__main"].to_numpy(zero_copy_only=False)
+        else:
+            gkey = keys
+            is_main = np.ones(n, dtype=bool)
 
-        order = np.lexsort((ts, keys))
-        ks, tss, vs = keys[order], ts[order], vals[order]
+        order = np.lexsort((ts, gkey))
+        ks, tss, vs = gkey[order], ts[order], vals[order]
         uk, starts = np.unique(ks, return_index=True)
         ends = np.append(starts[1:], n)
         cnt = np.empty(n, dtype=np.int64)
@@ -72,15 +111,20 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
             cnt[s:e] = idx - lo + 1
             sm[s:e] = cum[idx + 1] - cum[lo]
 
-        out = b.take(pa.array(order, pa.int64()))
+        emit = is_main[order]
+        out = b.take(pa.array(order[emit], pa.int64()))
         cols = {c: out[c] for c in keep + [by, on]}
-        cols["n_window"] = pa.array(cnt, pa.int64())
-        cols["sum_window"] = pa.array(_round6(sm), pa.float64())
+        cols["n_window"] = pa.array(cnt[emit], pa.int64())
+        cols["sum_window"] = pa.array(_round6(sm[emit]), pa.float64())
         return pa.table(cols)
 
     parts = keyed_shuffle_partitions(num_partitions)
-    return (ds.repartition(parts, keys=[by])
-              .map_batches(kernel, batch_format="pyarrow", batch_size=None))
+    if chunked:
+        env = ds.map_batches(explode, batch_format="pyarrow")
+        env = env.repartition(parts, keys=[by, "__chunk"])
+    else:
+        env = ds.repartition(parts, keys=[by])
+    return env.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
 
 def sessionize(ds, *, on: str, by: str, gap_ns: int,
@@ -104,11 +148,7 @@ def sessionize(ds, *, on: str, by: str, gap_ns: int,
                 "session_num": pa.array([], pa.int64()),
                 "session_id": pa.array([], pa.string())})
         keys = b[by].to_numpy(zero_copy_only=False)
-        t_np = b[on].combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(b[on], pa.ChunkedArray) \
-            else b[on].to_numpy(zero_copy_only=False)
-        ts = t_np.view("int64") if t_np.dtype.kind == "M" \
-            else t_np.astype(np.int64)
+        ts = _ts_i64(b[on])
 
         order = np.lexsort((ts, keys))
         ks, tss = keys[order], ts[order]

@@ -116,3 +116,32 @@ def test_sessionize_bruteforce():
         for rid, sess in want.items():
             assert out.loc[rid, "session_num"] == sess
             assert out.loc[rid, "session_id"] == f"{k}#{sess}"
+
+
+def test_rolling_window_chunked_parity():
+    """Hot-key time-splitting (chunk_ns) must agree exactly with the
+    single-partition-per-key path."""
+    from courlan_ray.stages.window import rolling_window_agg
+    rng = np.random.default_rng(12)
+    n = 800
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 3, n).astype(np.int64),     # hot keys
+        "t": rng.integers(0, 10_000, n).astype(np.int64),
+        "v": np.round(rng.random(n) * 100, 2)})
+
+    def run(**kw):
+        out = rolling_window_agg(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            on="t", by="k", value_col="v", width_ns=400,
+            keep_cols=["id"], **kw).to_pandas()
+        return out.sort_values("id").reset_index(drop=True)
+
+    a = run()
+    b = run(chunk_ns=1000)   # windows span chunk boundaries
+    c = run(chunk_ns=400)    # minimum legal chunk = width
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        run(chunk_ns=100)
