@@ -59,6 +59,12 @@ from .pipelines.url_pipeline import sample_urls
 from .state.urltable import RayUrlStore, RayUrlStore as UrlStore, load_store
 from .pipelines.image_dedup import dedup_pipeline, pair_recall
 from .pipelines.text_dedup import text_dedup_pipeline
+from .stages.ann import ann_ivf, ann_lsh, cosine_pairs_exact, knn_bruteforce
+from .stages.asof import asof_join
+from .stages.ngram_jaccard import ngram_jaccard_pairs
+from .stages.rangejoin import range_join_broadcast
+from .stages.simhash_pairs import simhash_hamming_pairs
+from .stages.window import rolling_window_agg, sessionize
 
 __version__ = "0.1.0"
 
@@ -74,4 +80,8 @@ __all__ = [
     "RayUrlStore", "UrlStore", "load_store",
     # engine
     "dedup_pipeline", "pair_recall", "text_dedup_pipeline",
+    # operator library
+    "ann_ivf", "ann_lsh", "asof_join", "cosine_pairs_exact",
+    "knn_bruteforce", "ngram_jaccard_pairs", "range_join_broadcast",
+    "rolling_window_agg", "sessionize", "simhash_hamming_pairs",
 ]
