@@ -41,6 +41,7 @@ def _ts_i64(col) -> np.ndarray:
 def asof_join(left_ds, right_ds, *, on: str, by: str,
               left_cols: list[str], right_cols: list[str],
               strict: bool = True, right_suffix: str = "_r",
+              tolerance_ns: int | None = None,
               num_partitions: int = 64):
     """Left as-of join.  Returns a Dataset with ``left_cols`` plus each of
     ``right_cols`` as ``<name><right_suffix>`` (null when the key has no
@@ -49,7 +50,10 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
     ``on`` is the timestamp column name (same name both sides); ``by`` the
     equality key (same name both sides).  ``strict=True`` matches
     right.t < left.t (DuckDB ``ASOF JOIN ... ON l.t > r.t``);
-    ``strict=False`` matches right.t <= left.t."""
+    ``strict=False`` matches right.t <= left.t.  ``tolerance_ns`` bounds
+    the lookback (pandas merge_asof tolerance): a match older than
+    left.t - tolerance becomes null — and a bounded lookback is what
+    would let a hot key time-chunk like stages/window.rolling_window_agg."""
     from .joins import keyed_shuffle_partitions
 
     lp = [c for c in left_cols if c not in (on, by)]
@@ -117,6 +121,12 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
                 s, t_end = starts[gi], ends[gi]
                 pos = np.searchsorted(rt[s:t_end], ltm[rows], side=side_kw)
                 hit = pos > 0
+                if tolerance_ns is not None:
+                    hit &= np.where(
+                        pos > 0,
+                        ltm[rows] - rt[s:t_end][np.maximum(pos - 1, 0)]
+                        <= tolerance_ns,
+                        False)
                 match[rows[hit]] = r_order[s + pos[hit] - 1]
         got = match >= 0
         take_idx = np.where(got, match, 0)

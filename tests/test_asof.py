@@ -145,3 +145,23 @@ def test_rolling_window_chunked_parity():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         run(chunk_ns=100)
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_tolerance_matches_pandas(strict):
+    left, right = _frames(seed=8)
+    got = asof_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        on="t", by="k", left_cols=["lid"], right_cols=["rv"],
+        strict=strict, tolerance_ns=500,
+        right_suffix="").to_pandas().sort_values("lid") \
+        .reset_index(drop=True)
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="k", allow_exact_matches=not strict,
+        tolerance=500, direction="backward") \
+        .sort_values("lid").reset_index(drop=True)
+    lhs = got.set_index("lid")["rv"]
+    rhs = want.set_index("lid")["rv"]
+    assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all()
