@@ -66,6 +66,30 @@ class RayUrlStore:
         self.trailing_slash = trailing
         self.urldict: dict[str, _HostEntry] = {}
         self.done = False
+        if verbose:
+            self._register_signal_dump()
+
+    def _register_signal_dump(self) -> None:
+        """Mirror of the reference's interrupt dump
+        (/root/reference/courlan/urlstore.py:144-159): on SIGINT/SIGTERM
+        print the unvisited frontier and exit.  No-op on Windows and
+        outside the main thread (signal registration raises ValueError
+        there, as in the reference)."""
+        import signal
+        import sys
+
+        if sys.platform.startswith("win"):      # pragma: no cover
+            return
+
+        def dump_unvisited_urls(num, frame):
+            self.print_unvisited_urls()
+            sys.exit(1)
+
+        try:
+            signal.signal(signal.SIGINT, dump_unvisited_urls)
+            signal.signal(signal.SIGTERM, dump_unvisited_urls)
+        except ValueError:
+            pass    # signal handlers only register in the main thread
 
     # ------------------------------------------------------------ internal
 

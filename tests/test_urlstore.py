@@ -116,3 +116,26 @@ def test_persistence_roundtrip(tmp_path):
     s2 = load_store(path)
     assert s2.dump_urls() == s.dump_urls()
     assert s2.total_url_number() == s.total_url_number()
+
+
+def test_verbose_signal_dump(capsys):
+    """verbose=True registers SIGINT/SIGTERM handlers that dump the
+    unvisited frontier and exit (reference urlstore.py:144-159)."""
+    import signal
+    import pytest
+    from courlan_ray.state.urltable import RayUrlStore
+
+    old_int = signal.getsignal(signal.SIGINT)
+    old_term = signal.getsignal(signal.SIGTERM)
+    try:
+        store = RayUrlStore(verbose=True)
+        store.add_urls(["https://example.org/a", "https://example.org/b"])
+        handler = signal.getsignal(signal.SIGTERM)
+        assert callable(handler) and handler is signal.getsignal(signal.SIGINT)
+        with pytest.raises(SystemExit):
+            handler(signal.SIGTERM, None)
+        out = capsys.readouterr().out
+        assert "https://example.org/a" in out
+    finally:
+        signal.signal(signal.SIGINT, old_int)
+        signal.signal(signal.SIGTERM, old_term)
