@@ -96,10 +96,14 @@ def run_bench() -> dict:
 
     from courlan_ray.pipelines.extras import (doc_minhash_clusters,
                                               doc_ngram_jaccard,
-                                              emb_neardup_exact)
+                                              emb_neardup_exact,
+                                              events_asof_prev_click,
+                                              events_rolling_1h)
     for name, fn in (("doc_minhash_clusters", doc_minhash_clusters),
                      ("doc_ngram_jaccard", doc_ngram_jaccard),
-                     ("emb_neardup_exact", emb_neardup_exact)):
+                     ("emb_neardup_exact", emb_neardup_exact),
+                     ("events_asof_prev_click", events_asof_prev_click),
+                     ("events_rolling_1h", events_rolling_1h)):
         t0 = time.time()
         fn(SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

@@ -65,3 +65,21 @@ def test_captions_unique_across_contents():
     plan = synth.row_plan(np.arange(800), 42)
     orig = t[(plan["kind"] == synth.KIND_ORIG)]
     assert orig["caption"].is_unique
+
+
+def test_read_table_dispatch(tmp_path):
+    """readers.read_table: parquet path reads with projection; .lance path
+    raises the documented NotImplementedError without the lance wheel."""
+    import pyarrow.parquet as pq
+    import pytest
+    from courlan_ray.sources.readers import read_table
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), p)
+    ds = read_table(p, columns=["a"])
+    assert ds.schema().names == ["a"] and ds.count() == 2
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            read_table(str(tmp_path / "t.lance"))
