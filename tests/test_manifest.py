@@ -87,3 +87,49 @@ def test_mid_run_kill_resume(synth_path, tmp_path):
     assert statuses["candidates"] == "computed"
     assert statuses["verified_pairs"] == "computed"
     assert c1.equals(c2)
+
+
+def test_run_sharded_resumes_per_shard(tmp_path):
+    """Shard-granular resume: completed shards are never recomputed."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from courlan_ray.config import DedupConfig
+    from courlan_ray.state.manifest import Checkpoint
+
+    files = []
+    for i in range(6):
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(pa.table({"x": pa.array([i * 10 + j for j in range(5)],
+                                               pa.int64())}), p)
+        files.append(p)
+
+    calls = []
+
+    def make(ds):
+        calls.append(1)
+        return ds.map_batches(
+            lambda b: b.append_column("y", pa.array(
+                [v * 2 for v in b["x"].to_pylist()], pa.int64())),
+            batch_format="pyarrow")
+
+    root = str(tmp_path / "ck")
+    ck = Checkpoint(root, DedupConfig())
+    out = ck.run_sharded("sigtable", files, make, n_shards=3)
+    assert out.count() == 30 and len(calls) == 3
+
+    # simulate a mid-run crash: delete ONE shard's marker
+    out_root = ck._dir("sigtable")
+    victim = os.path.join(out_root, "shard=00001")
+    os.remove(os.path.join(victim, "_SUCCESS"))
+
+    calls.clear()
+    ck2 = Checkpoint(root, DedupConfig())
+    out2 = ck2.run_sharded("sigtable", files, make, n_shards=3)
+    assert out2.count() == 30 and len(calls) == 1   # only the victim reran
+    recs = [r for r in ck2.records() if r.get("status") == "shard_skipped"]
+    assert len(recs) >= 2
+    got = sorted(out2.to_pandas()["y"])
+    assert got == sorted(v * 2 for f in range(6) for v in
+                         range(f * 10, f * 10 + 5))
