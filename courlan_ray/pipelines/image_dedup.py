@@ -55,7 +55,11 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
     with ``materialize()``; with a ``checkpoint``
     (state.manifest.Checkpoint) they are written to partitioned parquet
     instead — the durable equivalent at 100 TB scale — and completed
-    stages are skipped on resume.
+    stages are skipped on resume.  For file-backed inputs the signature
+    stage can additionally resume at SHARD granularity via
+    ``checkpoint.run_sharded("sigtable", ds.input_files(), make)`` —
+    one output directory per input-file shard, only unmarked shards
+    recompute (state/manifest.py).
     """
     ck = checkpoint
     import os, sys, time
