@@ -192,6 +192,16 @@ _PRICE_BANDS = [  # (lo, hi, band) — half-open [lo, hi); overlap-capable
 ]
 
 
+def orders_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles of o_totalprice (two streaming passes:
+    histogram + candidate-bucket refinement; stages/quantiles.py).  Full
+    DuckDB oracle (quantile_disc — type-1, value copies, bit-exact)."""
+    from ..stages.quantiles import exact_quantiles
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return exact_quantiles(ds, "o_totalprice",
+                           [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
 def orders_price_bands(sf_dir: str):
     """Range join (custom operator, stages/rangejoin.py): orders against a
     broadcast price-interval table — overlapping bands duplicate the row
@@ -481,6 +491,10 @@ def _build_extra_oracles() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                            AND CURRENT ROW)
         ORDER BY event_id""",
+        "orders_price_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(o_totalprice, {q}) AS value FROM orders"
+            for q in (0.01, 0.25, 0.5, 0.75, 0.99)) + " ORDER BY q",
         "orders_price_bands": """
         WITH bands(lo, hi, band) AS (VALUES
           (0.0, 100000.0, 'low'), (100000.0, 250000.0, 'mid'),
@@ -538,6 +552,7 @@ EXTRAS = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
+    "orders_price_quantiles": orders_price_quantiles,
     "events_rolling_1h": events_rolling_1h,
     "events_sessionize": events_sessionize,
     "doc_training_prep": doc_training_prep,

@@ -1,0 +1,97 @@
+"""Exact distributed quantiles (type-1 / ``quantile_disc`` semantics).
+
+Two streaming passes, no sort, no full collect:
+
+  1. histogram pass: every block bincounts its values over a fixed grid
+     between the column's (min, max) (computed in the same pass via Ray
+     Data's min/max aggregates); the tiny per-block histograms sum on the
+     driver.
+  2. refinement pass: the global ranks of the requested quantiles locate
+     their histogram buckets; ONLY values inside those buckets are pulled
+     (a ~n/bins-row filter), and the exact order statistic is selected by
+     rank within the bucket.
+
+Wall cost is two passes over one narrow column; driver memory is
+O(bins + n/bins).  With heavy duplicate skew a bucket can be large —
+``bins`` trades refinement size against histogram size (default 4096:
+10^9 rows -> ~250k-row refinement collect).
+
+``quantile_disc`` (SQL) returns the value whose 0-based rank is
+``ceil(q * n) - 1`` for q in (0, 1] — matched exactly here, so the
+DuckDB twin hashes bit-identically (values are COPIES of input values,
+never interpolations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def exact_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096):
+    """Dataset -> pa.Table (q:float64, value:float64) with the exact
+    type-1 quantiles of ``ds[col]`` (null values excluded)."""
+
+    narrow = ds.select_columns([col])
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        lo = float(v.min()) if v.size else np.inf
+        hi = float(v.max()) if v.size else -np.inf
+        return pa.table({"lo": pa.array([lo]), "hi": pa.array([hi]),
+                         "n": pa.array([int(v.size)], pa.int64())})
+
+    stats = narrow.map_batches(hist, batch_format="pyarrow").to_pandas()
+    n = int(stats["n"].sum()) if len(stats) else 0
+    if n == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    lo, hi = float(stats["lo"].min()), float(stats["hi"].max())
+    if hi <= lo:                       # constant column
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([lo] * len(qs), pa.float64())})
+    width = (hi - lo) / bins
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        return pa.table({"counts": pa.array(
+            [np.bincount(idx, minlength=bins).astype(np.int64)])})
+
+    parts = narrow.map_batches(bucket_counts,
+                               batch_format="pyarrow").to_pandas()
+    counts = np.sum(np.stack(parts["counts"].to_numpy()), axis=0)
+    cum = np.cumsum(counts)
+
+    # target 0-based ranks (quantile_disc): ceil(q*n) - 1, clipped
+    ranks = np.clip(np.ceil(np.asarray(qs) * n).astype(np.int64) - 1, 0,
+                    n - 1)
+    need_buckets = np.unique(np.searchsorted(cum, ranks + 1))
+
+    sel_lo = lo + need_buckets * width
+    sel_hi = sel_lo + width
+    is_last = need_buckets == bins - 1
+
+    def refine(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        m = np.zeros(v.size, dtype=bool)
+        for blo, bhi, last in zip(sel_lo, sel_hi, is_last):
+            m |= (v >= blo) & ((v <= hi) if last else (v < bhi))
+        return pa.table({col: pa.array(v[m], pa.float64())})
+
+    cand = np.sort(narrow.map_batches(refine, batch_format="pyarrow")
+                   .to_pandas()[col].to_numpy())
+    base = np.zeros(bins, dtype=np.int64)
+    base[1:] = cum[:-1]
+    out_vals = []
+    for q, r in zip(qs, ranks):
+        bi = int(np.searchsorted(cum, r + 1))
+        # rank within the candidate array: candidates of earlier selected
+        # buckets precede (cand is globally sorted across the few buckets)
+        before = int(sum(counts[b] for b in need_buckets if b < bi))
+        out_vals.append(float(cand[before + (r - base[bi])]))
+    return pa.table({"q": pa.array(list(map(float, qs)), pa.float64()),
+                     "value": pa.array(out_vals, pa.float64())})
