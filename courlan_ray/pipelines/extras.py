@@ -192,6 +192,28 @@ _PRICE_BANDS = [  # (lo, hi, band) — half-open [lo, hi); overlap-capable
 ]
 
 
+def events_distinct_types(sf_dir: str):
+    """Exact COUNT(DISTINCT event_type) per user via two-level
+    pre-aggregation: map-side (user, type) distinct inside each batch,
+    one keyed groupby over the already-tiny pair table, then a count per
+    user — the canonical shuffle-minimizing pattern (never ships
+    duplicate rows into the exchange).  Full DuckDB oracle."""
+    from ..stages.agg import grouped_agg
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow")
+    pairs = grouped_agg(pairs, ["user_id", "event_type"], [],
+                        approx_count=10_000_000)      # global distinct
+    out = grouped_agg(pairs, ["user_id"],
+                      [("event_type", "count", "n_types")],
+                      approx_count=10_000_000)
+    return out.sort("user_id")
+
+
 def orders_price_quantiles(sf_dir: str):
     """Exact distributed quantiles of o_totalprice (two streaming passes:
     histogram + candidate-bucket refinement; stages/quantiles.py).  Full
@@ -491,6 +513,10 @@ def _build_extra_oracles() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                            AND CURRENT ROW)
         ORDER BY event_id""",
+        "events_distinct_types": """
+        SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT)
+                 AS n_types
+        FROM events GROUP BY user_id ORDER BY user_id""",
         "orders_price_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(o_totalprice, {q}) AS value FROM orders"
@@ -553,6 +579,7 @@ EXTRAS = {
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,
+    "events_distinct_types": events_distinct_types,
     "events_rolling_1h": events_rolling_1h,
     "events_sessionize": events_sessionize,
     "doc_training_prep": doc_training_prep,
