@@ -192,6 +192,18 @@ _PRICE_BANDS = [  # (lo, hi, band) — half-open [lo, hi); overlap-capable
 ]
 
 
+def events_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate (stages/sketch.py) — the sketch
+    tier next to the exact events_distinct_types.  Deterministic (seeded
+    hash), rows-only driver check; accuracy asserted in
+    tests/test_sketch.py (<5 percent at p=12)."""
+    from ..stages.sketch import hll_distinct
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    return pa.table({"metric": pa.array(["distinct_users_hll"]),
+                     "estimate": pa.array([round(est, 1)], pa.float64())})
+
+
 def events_distinct_types(sf_dir: str):
     """Exact COUNT(DISTINCT event_type) per user via two-level
     pre-aggregation: map-side (user, type) distinct inside each batch,
@@ -580,6 +592,7 @@ EXTRAS = {
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,
     "events_distinct_types": events_distinct_types,
+    "events_hll_users": events_hll_users,
     "events_rolling_1h": events_rolling_1h,
     "events_sessionize": events_sessionize,
     "doc_training_prep": doc_training_prep,
