@@ -70,16 +70,18 @@ def exact_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096):
                     n - 1)
     need_buckets = np.unique(np.searchsorted(cum, ranks + 1))
 
-    sel_lo = lo + need_buckets * width
-    sel_hi = sel_lo + width
-    is_last = need_buckets == bins - 1
+    need_sorted = np.sort(need_buckets)
 
     def refine(b: pa.Table) -> pa.Table:
         v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[~np.isnan(v)]
-        m = np.zeros(v.size, dtype=bool)
-        for blo, bhi, last in zip(sel_lo, sel_hi, is_last):
-            m |= (v >= blo) & ((v <= hi) if last else (v < bhi))
+        # SAME bucket-index formula as the histogram pass — range
+        # predicates recomputed from lo + b*width can disagree by 1 ulp
+        # at bucket boundaries and desynchronize the two passes
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        pos = np.clip(np.searchsorted(need_sorted, idx), 0,
+                      need_sorted.size - 1)
+        m = need_sorted[pos] == idx
         return pa.table({col: pa.array(v[m], pa.float64())})
 
     cand = np.sort(narrow.map_batches(refine, batch_format="pyarrow")
