@@ -63,7 +63,9 @@ from .stages.ann import ann_ivf, ann_lsh, cosine_pairs_exact, knn_bruteforce
 from .stages.asof import asof_join
 from .stages.ngram_jaccard import ngram_jaccard_pairs
 from .stages.rangejoin import range_join_broadcast
+from .stages.quantiles import exact_quantiles
 from .stages.simhash_pairs import simhash_hamming_pairs
+from .stages.sketch import hll_distinct
 from .stages.window import rolling_window_agg, sessionize
 
 __version__ = "0.1.0"
@@ -82,6 +84,7 @@ __all__ = [
     "dedup_pipeline", "pair_recall", "text_dedup_pipeline",
     # operator library
     "ann_ivf", "ann_lsh", "asof_join", "cosine_pairs_exact",
-    "knn_bruteforce", "ngram_jaccard_pairs", "range_join_broadcast",
-    "rolling_window_agg", "sessionize", "simhash_hamming_pairs",
+    "exact_quantiles", "hll_distinct", "knn_bruteforce",
+    "ngram_jaccard_pairs", "range_join_broadcast", "rolling_window_agg",
+    "sessionize", "simhash_hamming_pairs",
 ]
