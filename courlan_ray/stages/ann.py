@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 
 from ..config import DedupConfig
-from ..functions.hashing import splitmix64
+from ..functions.hashing import splitmix64, _ranges_within
 from .joins import cached_get
 
 _U64 = np.uint64
@@ -130,7 +130,7 @@ def ann_lsh(ds, queries: np.ndarray, k: int, *, bits: int = 8,
         # queries probing its bucket
         flat_rows = np.repeat(rows, counts)
         flat_q = wq[np.repeat(woff[p], counts)
-                    + _ranges_local(counts)]
+                    + _ranges_within(counts)]
         sims_all = vn[rows] @ cached_get(qref)           # (kept, nq)
         row_local = np.repeat(np.arange(rows.size), counts)
         flat_sims = sims_all[row_local, flat_q]
@@ -149,14 +149,6 @@ def ann_lsh(ds, queries: np.ndarray, k: int, *, bits: int = 8,
                              ascending=[True, False, True])
            .groupby("query_idx").head(k).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
-
-
-def _ranges_local(counts: np.ndarray) -> np.ndarray:
-    total = int(counts.sum())
-    out = np.arange(total, dtype=np.int64)
-    ends = np.cumsum(counts)
-    out -= np.repeat(ends - counts, counts)
-    return out
 
 
 def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
@@ -396,7 +388,7 @@ def ann_ivf(ds, queries: np.ndarray, k: int, *, n_centroids: int = 64,
         p = pos[hit]
         counts = woff[p + 1] - woff[p]
         flat_rows = np.repeat(rows, counts)
-        flat_q = wq[np.repeat(woff[p], counts) + _ranges_local(counts)]
+        flat_q = wq[np.repeat(woff[p], counts) + _ranges_within(counts)]
         sims_all = vn[rows] @ cached_get(qref)
         row_local = np.repeat(np.arange(rows.size), counts)
         flat_sims = sims_all[row_local, flat_q]

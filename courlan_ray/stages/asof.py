@@ -116,8 +116,17 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
             g = np.searchsorted(uk, lk)
             g_ok = (g < uk.size)
             g_ok[g_ok] &= uk[g[g_ok]] == lk[g_ok]
-            for gi in np.unique(g[g_ok]):
-                rows = np.flatnonzero(g_ok & (g == gi))
+            # one argsort groups the left rows; a mask scan per key would
+            # be O(K*N) per partition
+            valid = np.flatnonzero(g_ok)
+            order_l = valid[np.argsort(g[valid], kind="stable")]
+            gv = g[order_l]
+            bs = np.flatnonzero(np.r_[True, gv[1:] != gv[:-1]]) \
+                if gv.size else np.zeros(0, dtype=np.int64)
+            be = np.append(bs[1:], gv.size)
+            for k0, k1 in zip(bs, be):
+                rows = order_l[k0:k1]
+                gi = gv[k0]
                 s, t_end = starts[gi], ends[gi]
                 pos = np.searchsorted(rt[s:t_end], ltm[rows], side=side_kw)
                 hit = pos > 0

@@ -69,11 +69,7 @@ def keyed_shuffle_partitions(requested: int) -> int:
     always schedule.  (The looser 8 x CPUs clamp at 0.05/partition let
     two pools reserve 3.2 of 4 CPUs and stalled the 4-CPU scaling run at
     84% idle — observed live, round 2.)"""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(2, min(requested, cpus))
+    return join_partitions(requested)
 
 
 def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,

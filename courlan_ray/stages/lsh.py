@@ -111,6 +111,12 @@ def banding_rows(sig_batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         # winnowing prints), killing single-shared-phrase collision buckets.
         # Rows with a single print (text of ~k+w-1..k+2w-2 chars) fall back
         # to the raw print so short near-verbatim captions still bucket.
+        # KNOWN RECALL BOUND (deliberate): a lone-print caption contained
+        # verbatim in a LONG caption shares no bucket here (the long side
+        # emits only pair hashes) — this channel guarantees substrings
+        # >= k+2w-1 chars; shorter containments must be caught by MinHash.
+        # Restoring raw-print postings for all rows would re-admit the
+        # measured 99.8%-noise collision volume.
         from .joins import safe_combine
         fpp_list = safe_combine(sig_batch["fp_pairs"])
         fpp_flat = np.asarray(fpp_list.flatten()
@@ -381,4 +387,8 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     distinct = distinct_by_key(canonical, "pair_key",
                                approx_count=n_rows,
                                tree_max_groups=2_000_000)
-    return distinct.drop_columns(["pair_key"])
+    # materialize: the keyed-shuffle output already has P well-sized
+    # blocks — pinning exposes the block count so verify_pairs skips its
+    # own fan-out repartition (a lazy input reads as 0 blocks there and
+    # always paid an extra AllToAll)
+    return distinct.drop_columns(["pair_key"]).materialize()

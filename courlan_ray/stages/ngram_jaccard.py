@@ -80,6 +80,16 @@ def _gram_sets(texts: list[str], n: int, seed: int
     return g[first], np.bincount(seg[first], minlength=n_docs).astype(np.int64)
 
 
+def _pair_keys(li: np.ndarray, ri: np.ndarray) -> np.ndarray:
+    """64-bit dedup key for id-VALUE pairs: numeric ids mix directly,
+    string/object ids hash first (the scale-path kernels receive raw id
+    values, unlike the driver paths' positional indices)."""
+    if li.dtype.kind in "iu":
+        return hash_u64_pair(li.astype(_U64), ri.astype(_U64))
+    return hash_u64_pair(hash_strings(li, seed=0xBEEF),
+                         hash_strings(ri, seed=0xBEEF))
+
+
 def _prefix_len(sizes: np.ndarray, threshold: float) -> np.ndarray:
     """PPJoin prefix length p = n - ceil(t*n) + 1 (0 for empty sets)."""
     p = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
@@ -232,7 +242,7 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
         doc = b["left_id"].to_numpy(zero_copy_only=False)
         size = b["n_grams"].to_numpy(zero_copy_only=False)
         li, ri = _pairs_from_postings(gram, doc, size, threshold)
-        pk = hash_u64_pair(li.astype(_U64), ri.astype(_U64)).view(np.int64)
+        pk = _pair_keys(li, ri).view(np.int64)
         return pa.table({"left_id": pa.array(li), "right_id": pa.array(ri),
                          "pair_key": pa.array(pk, pa.int64())})
 

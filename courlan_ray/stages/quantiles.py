@@ -1,18 +1,20 @@
 """Exact distributed quantiles (type-1 / ``quantile_disc`` semantics).
 
-Two streaming passes, no sort, no full collect:
+No sort, no full collect: the narrow column is pinned once
+(``materialize()`` — blocks stay in the object store, upstream transforms
+never re-execute), then three cheap passes read it:
 
+  0. (min, max, n) per block — tiny per-block rows summed on the driver.
   1. histogram pass: every block bincounts its values over a fixed grid
-     between the column's (min, max) (computed in the same pass via Ray
-     Data's min/max aggregates); the tiny per-block histograms sum on the
-     driver.
+     between the global (min, max); the tiny per-block histograms sum on
+     the driver.
   2. refinement pass: the global ranks of the requested quantiles locate
      their histogram buckets; ONLY values inside those buckets are pulled
      (a ~n/bins-row filter), and the exact order statistic is selected by
      rank within the bucket.
 
-Wall cost is two passes over one narrow column; driver memory is
-O(bins + n/bins).  With heavy duplicate skew a bucket can be large —
+Wall cost is three passes over one pinned narrow column; driver memory
+is O(bins + n/bins).  With heavy duplicate skew a bucket can be large —
 ``bins`` trades refinement size against histogram size (default 4096:
 10^9 rows -> ~250k-row refinement collect).
 
@@ -32,7 +34,7 @@ def exact_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096):
     """Dataset -> pa.Table (q:float64, value:float64) with the exact
     type-1 quantiles of ``ds[col]`` (null values excluded)."""
 
-    narrow = ds.select_columns([col])
+    narrow = ds.select_columns([col]).materialize()
 
     def hist(b: pa.Table) -> pa.Table:
         v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -108,7 +108,8 @@ def simhash_hamming_pairs(sig_ds, *, max_ham: int = 3,
         doc = b["left_id"].to_numpy(zero_copy_only=False)
         li, ri = _pairs_from_postings(band, doc,
                                       np.ones(doc.size, dtype=np.int64), 0.0)
-        pk = hash_u64_pair(li.astype(_U64), ri.astype(_U64)).view(np.int64)
+        from .ngram_jaccard import _pair_keys
+        pk = _pair_keys(li, ri).view(np.int64)
         return pa.table({"left_id": pa.array(li), "right_id": pa.array(ri),
                          "pair_key": pa.array(pk, pa.int64())})
 

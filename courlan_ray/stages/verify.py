@@ -35,6 +35,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import DedupConfig
+from ..functions.hashing import _ranges_within
 
 _U64 = np.uint64
 _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -203,7 +204,7 @@ def _verdicts(cfg: DedupConfig, *, mh_l, mh_r, ph_l, ph_r, sp_l, sp_r,
         # (map batches are <= 8192).
         def seg_keys(flat, starts, ends):
             cnt = (ends - starts)[idx]
-            fi = np.repeat(starts[idx], cnt) + _ranges(cnt)
+            fi = np.repeat(starts[idx], cnt) + _ranges_within(cnt)
             pid = np.repeat(np.arange(idx.size, dtype=np.int64), cnt)
             vals = flat[fi].astype(np.int64, copy=False).view(_U64)
             return (pid.astype(_U64) << _U64(44)) | (vals >> _U64(20)), pid
@@ -418,14 +419,6 @@ def _verify_joined(pairs_ds, sig_ds, cfg: DedupConfig):
 
     return attached.map_batches(kernel, batch_format="pyarrow",
                                 batch_size=8192)
-
-
-def _ranges(counts: np.ndarray) -> np.ndarray:
-    total = int(counts.sum())
-    out = np.arange(total, dtype=np.int64)
-    ends = np.cumsum(counts)
-    out -= np.repeat(ends - counts, counts)
-    return out
 
 
 def fidelity_check(pairs_sample: pd.DataFrame, row_lookup) -> pd.DataFrame:

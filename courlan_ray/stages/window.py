@@ -106,10 +106,12 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
             s, e = starts[gi], ends[gi]
             tg, vg = tss[s:e], vs[s:e]
             lo = np.searchsorted(tg, tg - width_ns, side="left")
+            # SQL RANGE frames include CURRENT ROW's PEERS (equal t), not
+            # just rows at-or-before this row's sort position
+            hi_b = np.searchsorted(tg, tg, side="right")
             cum = np.concatenate(([0.0], np.cumsum(vg)))
-            idx = np.arange(e - s)
-            cnt[s:e] = idx - lo + 1
-            sm[s:e] = cum[idx + 1] - cum[lo]
+            cnt[s:e] = hi_b - lo
+            sm[s:e] = cum[hi_b] - cum[lo]
 
         emit = is_main[order]
         out = b.take(pa.array(order[emit], pa.int64()))

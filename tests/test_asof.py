@@ -81,15 +81,19 @@ def test_rolling_window_matches_bruteforce():
         "k": rng.integers(0, 8, n).astype(np.int64),
         "t": rng.integers(0, 5_000, n).astype(np.int64),
         "v": np.round(rng.random(n) * 100, 2)})
+    # force timestamp TIES within a key: SQL RANGE frames include peers
+    df.loc[10, ["k", "t"]] = df.loc[11, ["k", "t"]]
+    df.loc[20, ["k", "t"]] = df.loc[21, ["k", "t"]]
     out = rolling_window_agg(
         rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
         on="t", by="k", value_col="v", width_ns=300,
         keep_cols=["id"]).to_pandas().set_index("id").sort_index()
-    # brute force: all rows of same key with t in [t_i - 300, t_i]
-    for i in df.sample(60, random_state=0).index:
+    # brute force over EVERY row: same key, t in [t_i - 300, t_i] — equal-t
+    # peers included, matching RANGE ... AND CURRENT ROW
+    for i in df.index:
         r = df.loc[i]
         m = df[(df.k == r.k) & (df.t >= r.t - 300) & (df.t <= r.t)]
-        assert out.loc[r.id, "n_window"] == len(m)
+        assert out.loc[r.id, "n_window"] == len(m), r.id
         assert abs(out.loc[r.id, "sum_window"] - m.v.sum()) < 1e-6
 
 

@@ -80,3 +80,16 @@ def test_scale_path_parity_on_real_corpus():
 
     a, b = run(100_000), run(0)
     assert a == b and len(a) == 25
+
+
+def test_string_ids_scale_path():
+    """Scale path must handle non-numeric ids (the flagship uses string
+    image_ids); pair keys hash string values instead of casting."""
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(TEXTS))]),
+        "text": pa.array(TEXTS)}))
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5,
+                              driver_max=0).to_pandas()
+    got = {(l, r) for l, r in zip(out["left_id"], out["right_id"])}
+    assert ("d0", "d3") in got and ("d0", "d1") in got

@@ -44,3 +44,12 @@ def test_finds_exactly_the_hamming_ball():
 def test_scale_path_parity():
     sims = _corpus(seed=5, n=120, n_near=10)
     assert _run(sims, driver_max=0) == _run(sims, driver_max=200_000)
+
+
+def test_string_ids_scale_path():
+    sims = _corpus(seed=5, n=100, n_near=8)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"v{i:03d}" for i in range(len(sims))]),
+        "simhash": pa.array(sims, pa.int64())}))
+    out = simhash_hamming_pairs(ds, max_ham=3, driver_max=0).to_pandas()
+    assert len(out) >= 5 and out["left_id"].str.startswith("v").all()
