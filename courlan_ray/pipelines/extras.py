@@ -192,6 +192,57 @@ _PRICE_BANDS = [  # (lo, hi, band) — half-open [lo, hi); overlap-capable
 ]
 
 
+def q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem): BUILDING-segment
+    revenue per order, top 10.  Broadcast semi-join + map-side partial
+    aggregation before the only exchange; full DuckDB oracle."""
+    import datetime
+    import pyarrow.compute as pc
+    from ..stages.agg import grouped_agg
+    from ..stages.joins import attach_by_key, filter_by_keys
+
+    cutoff = datetime.datetime(1998, 6, 1)
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'")
+            .select_columns(["c_custkey"]))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow")
+    orders = filter_by_keys(orders, cust, "o_custkey", keep=True,
+                            keys_col="c_custkey")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_parts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"o_orderkey": b["l_orderkey"], "rev": rev})
+
+    rev = grouped_agg(li.map_batches(rev_parts, batch_format="pyarrow"),
+                      ["o_orderkey"], [("rev", "sum", "revenue")],
+                      approx_count=20_000_000)
+    joined = attach_by_key(rev, orders, ["o_orderkey"])
+
+    def round_rev(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("revenue")
+        return b.set_column(i, "revenue", pa.array(
+            _round4(b["revenue"].to_numpy(zero_copy_only=False))))
+
+    out = (joined.map_batches(round_rev, batch_format="pyarrow")
+           .sort(["revenue", "o_orderdate", "o_orderkey"],
+                 descending=[True, False, False])
+           .limit(10)
+           .select_columns(["o_orderkey", "revenue", "o_orderdate",
+                            "o_orderpriority"]))
+    return out
+
+
 def events_hll_users(sf_dir: str):
     """HyperLogLog distinct-user estimate (stages/sketch.py) — the sketch
     tier next to the exact events_distinct_types.  Deterministic (seeded
@@ -525,6 +576,18 @@ def _build_extra_oracles() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                            AND CURRENT ROW)
         ORDER BY event_id""",
+        "q3_shipping": """
+        SELECT o_orderkey,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                 / 10000 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10""",
         "events_distinct_types": """
         SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT)
                  AS n_types
@@ -593,6 +656,7 @@ EXTRAS = {
     "orders_price_quantiles": orders_price_quantiles,
     "events_distinct_types": events_distinct_types,
     "events_hll_users": events_hll_users,
+    "q3_shipping": q3_shipping,
     "events_rolling_1h": events_rolling_1h,
     "events_sessionize": events_sessionize,
     "doc_training_prep": doc_training_prep,
