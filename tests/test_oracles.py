@@ -14,7 +14,8 @@ import pytest
 from courlan_ray.pipelines.extras import EXTRA_ORACLES, EXTRAS
 
 SF = "/root/testdata/sf0.01"
-_TABLES = ("documents", "embeddings", "events", "orders")
+_TABLES = ("documents", "embeddings", "events", "orders", "customer",
+           "lineitem")
 
 
 def _oracle_df(sql: str) -> pd.DataFrame:
