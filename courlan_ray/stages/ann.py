@@ -25,6 +25,11 @@ _U64 = np.uint64
 
 def _vecs(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col].combine_chunks()
+    if batch.num_rows == 0:
+        # reshape(0, -1) raises; infer width when the type carries it
+        t = arr.type
+        d = t.list_size if pa.types.is_fixed_size_list(t) else 1
+        return np.zeros((0, d), dtype=np.float64)
     flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
     return flat.reshape(batch.num_rows, -1)
 
@@ -52,6 +57,10 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int, *,
     qref = ray.put(qn.T)                       # (D, Q)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch[id_col].type),
+                             "cos_sim": pa.array([], pa.float64())})
         vecs = _vecs(batch, vec_col)
         norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sims = (vecs / norms) @ cached_get(qref)          # (B, Q)
@@ -111,6 +120,8 @@ def ann_lsh(ds, queries: np.ndarray, k: int, *, bits: int = 8,
         empty = pa.table({"query_idx": pa.array([], pa.int64()),
                           id_col: pa.array([], batch[id_col].type),
                           "cos_sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
         planes_ = cached_get(pref)
         wb, woff, wq = cached_get(mref)
         vecs = _vecs(batch, vec_col)
@@ -163,6 +174,9 @@ def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
     seed = cfg.seed + 31
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "vid": pa.array([], pa.string())})
         vecs = _vecs(batch, vec_col)
         dim = vecs.shape[1]
         planes = _hyperplanes(dim, bits, seed)
@@ -247,6 +261,9 @@ def cosine_pairs_exact(ds, threshold: float, *, id_col: str = "vec_id",
     ``ngram_jaccard_pairs`` vs MinHash)."""
 
     def norm_kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: b[id_col],
+                             "nvec": pa.array([], pa.list_(pa.float64()))})
         v = _vecs(b, vec_col)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         d = v.shape[1] if v.size else 0
@@ -261,8 +278,10 @@ def cosine_pairs_exact(ds, threshold: float, *, id_col: str = "vec_id",
 
     def pair_kernel(batch: pa.Table) -> pa.Table:
         nb = batch.num_rows
-        empty = pa.table({"left_id": pa.array([], pa.int64()),
-                          "right_id": pa.array([], pa.int64()),
+        # empty blocks must carry the REAL id dtype or Ray cannot unify
+        # block schemas (int64-vs-string ArrowTypeError at concat)
+        empty = pa.table({"left_id": pa.array([], batch[id_col].type),
+                          "right_id": pa.array([], batch[id_col].type),
                           "cos_sim": pa.array([], pa.float64())})
         if nb == 0:
             return empty
@@ -342,6 +361,8 @@ def ann_ivf(ds, queries: np.ndarray, k: int, *, n_centroids: int = 64,
     stride = max(1, n_total // max(train_max, 1))
 
     def sample_kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"nvec": pa.array([], pa.list_(pa.float64()))})
         h = hash_strings(b[id_col].to_pylist(), seed=seed)
         keep = (h % _U64(stride)) == 0
         t = b.filter(pa.array(keep))
@@ -374,6 +395,8 @@ def ann_ivf(ds, queries: np.ndarray, k: int, *, n_centroids: int = 64,
         empty = pa.table({"query_idx": pa.array([], pa.int64()),
                           id_col: pa.array([], batch[id_col].type),
                           "cos_sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
         centT = cached_get(cref)
         wb, woff, wq = cached_get(mref)
         vecs = _vecs(batch, vec_col)

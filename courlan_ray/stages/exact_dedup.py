@@ -92,7 +92,7 @@ def exact_dedup(ds, cfg: DedupConfig, id_col: str = "image_id"):
     dup_edges: (left_id, right_id) feeding connected components so exact
     dups land in the same final cluster.
     """
-    keyed = add_exact_key(ds, cfg)
+    keyed = ds if "exact_key" in ds.schema().names else add_exact_key(ds, cfg)
     edges = exact_dup_edges(keyed, cfg, id_col)
     survivors = filter_by_keys(keyed, edges, id_col, keep=False,
                                keys_col="right_id",

@@ -252,8 +252,13 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
                           keys=["gram"])
              .map_batches(pair_kernel, batch_format="pyarrow",
                           batch_size=None))
+    # candidate-pair cardinality is quadratic in posting-list sizes, so
+    # declare the only true upper bound (n^2): above driver_max this always
+    # routes the distinct through the keyed hash-shuffle, never a
+    # single-block combine tree
     pairs = distinct_by_key(pairs, "pair_key",
-                            approx_count=n_docs * 4).drop_columns(["pair_key"])
+                            approx_count=n_docs * n_docs
+                            ).drop_columns(["pair_key"])
     joined = hash_join_pairs(pairs, sig, id_col=id_col,
                              payload_cols=["grams", "n_grams"])
 

@@ -162,8 +162,7 @@ class SignatureActor:
         fpp_counts = np.zeros(n, dtype=np.int64)
         fpp_counts[vidx] = v_fpp_counts
 
-        cap_full = batch["caption_key"] if len(vidx) == n else \
-            batch["caption_key"]
+        cap_full = batch["caption_key"]
 
         # store the low 32 bits of each min-hash: equality comparisons (the
         # only use — banding keys and Jaccard estimation) are unchanged up

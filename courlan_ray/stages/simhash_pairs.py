@@ -72,7 +72,6 @@ def simhash_hamming_pairs(sig_ds, *, max_ham: int = 3,
         return pa.table({
             "band": pa.array(bk.ravel().view(np.int64), pa.int64()),
             "left_id": b[id_col].take(pa.array(ridx)),
-            "sim": b[sim_col].take(pa.array(ridx)),
         })
 
     def verify(ids_l, ids_r, sim_l, sim_r):
@@ -118,8 +117,12 @@ def simhash_hamming_pairs(sig_ds, *, max_ham: int = 3,
                               keys=["band"])
                  .map_batches(pair_kernel, batch_format="pyarrow",
                               batch_size=None))
+    # pair cardinality is quadratic in bucket sizes (duplicate-heavy
+    # corpora put m identical hashes in one band): declare n^2 so the
+    # distinct always takes the keyed shuffle past driver_max
     pairs = distinct_by_key(pairs, "pair_key",
-                            approx_count=n_docs * 2).drop_columns(["pair_key"])
+                            approx_count=n_docs * n_docs
+                            ).drop_columns(["pair_key"])
     joined = hash_join_pairs(pairs, sig_ds.select_columns([id_col, sim_col]),
                              id_col=id_col, payload_cols=[sim_col])
 

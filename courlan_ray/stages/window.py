@@ -87,10 +87,11 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
         if chunked:
             # group on (key, chunk): several groups of one key may share a
             # partition, and replicas must never mix across chunks
-            from ..functions.hashing import hash_u64_pair
+            from ..functions.hashing import hash_strings, hash_u64_pair
             chunkv = b["__chunk"].to_numpy(zero_copy_only=False)
-            gkey = hash_u64_pair(keys.astype(np.uint64),
-                                 chunkv.astype(np.uint64)).view(np.int64)
+            kh = keys.astype(np.uint64) if keys.dtype.kind in "iu" else \
+                hash_strings(keys, seed=0x5E55)
+            gkey = hash_u64_pair(kh, chunkv.astype(np.uint64)).view(np.int64)
             is_main = b["__main"].to_numpy(zero_copy_only=False)
         else:
             gkey = keys
