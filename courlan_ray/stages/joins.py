@@ -179,6 +179,14 @@ def hash_join_pairs(pairs_ds, payload_ds, *, id_col: str, payload_cols: list[str
         def attach(batch: pa.Table) -> pa.Table:
             hashes_sorted, payload = cached_get(ref)
             out = batch
+            if hashes_sorted.size == 0:
+                # empty payload side -> zero matches, typed like a hit
+                out = batch.slice(0, 0)
+                for c in payload_cols:
+                    for suffix in ("_l", "_r"):
+                        out = out.append_column(
+                            c + suffix, pa.array([], payload[c].type))
+                return out
             for side in ("left", "right"):
                 probe = hash_strings(out[f"{side}_id"].to_pylist(),
                                      seed=0xA11CE)
