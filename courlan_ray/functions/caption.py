@@ -23,7 +23,7 @@ _ENTITIES = [
     ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
 ]
 
-_RE_CDATA = r"<!\[CDATA\[(.*?)\]\]>"
+_RE_CDATA = r"(?s)<!\[CDATA\[(.*?)\]\]>"   # (?s): block may span newlines
 _RE_MARKUP = r"<[^<>]*>"
 _RE_CTRL = r"[\x00-\x1f\x7f]+"
 _RE_TRACKER = r"[?&]?\butm_[a-z_]+=?\S*"

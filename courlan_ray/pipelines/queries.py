@@ -285,11 +285,20 @@ def emb_knn(sf_dir: str):
         norms = np.linalg.norm(vecs, axis=1)
         sim = (vecs @ cached_get(qref)) / np.where(norms == 0, 1, norms)
         return pa.table({"vec_id": b["vec_id"],
-                         "cos_sim": pa.array(np.round(sim, 4), pa.float64())})
+                         "cos_sim": pa.array(sim, pa.float64())})
+
+    def round_out(b: pa.Table) -> pa.Table:
+        # round AFTER the top-k selection: the oracle orders by the
+        # UNROUNDED similarity, so sorting on rounded values could pick a
+        # different boundary row; half-up mirrors DuckDB round()
+        sims = b["cos_sim"].to_numpy(zero_copy_only=False)
+        return b.set_column(b.schema.get_field_index("cos_sim"), "cos_sim",
+                            pa.array(np.floor(sims * 10000 + 0.5) / 10000))
 
     scored = ds.map_batches(score, batch_format="pyarrow") \
                .filter(expr="vec_id != 0")
-    return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(5)
+    return (scored.sort(["cos_sim", "vec_id"], descending=[True, False])
+            .limit(5).map_batches(round_out, batch_format="pyarrow"))
 
 
 def emb_label_stats(sf_dir: str):
@@ -341,8 +350,9 @@ ORACLES: dict[str, str] = {
         GROUP BY lang, source ORDER BY lang, source""",
     "doc_token_stats": """
         SELECT lang, count(*) AS n_docs,
-               cast(sum(len(string_split_regex(trim(text), '\\s+'))) AS bigint)
-                 AS total_tokens
+               cast(sum(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END) AS bigint) AS total_tokens
         FROM documents GROUP BY lang""",
     "events_counters": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -75,7 +75,10 @@ class Checkpoint:
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root,
-                            f"stage={name}-{self.stage_fingerprint(name)}")
+                            # no '=' in the name: key=value path segments
+                            # trigger hive-partition inference on read and
+                            # would inject a spurious 'stage' column
+                            f"stage-{name}-{self.stage_fingerprint(name)}")
 
     def completed(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._dir(name), "_SUCCESS"))
@@ -96,6 +99,18 @@ class Checkpoint:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         ds.write_parquet(tmp_dir)
+        # a zero-row stage (e.g. no exact duplicates) writes NO files;
+        # persist one empty schema-bearing file so the resumed
+        # read_parquet returns the same (empty, typed) dataset instead of
+        # failing on an empty directory
+        os.makedirs(tmp_dir, exist_ok=True)   # zero-row write creates nothing
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            schema = ds.schema()
+            empty = pa.table({n: pa.array([], t) for n, t in
+                              zip(schema.names, schema.types)})
+            pq.write_table(empty, os.path.join(tmp_dir, "empty.parquet"))
         os.replace(tmp_dir, out_dir)
         result = rd.read_parquet(out_dir)
         files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
@@ -138,7 +153,10 @@ class Checkpoint:
         for s, shard_files in enumerate(shards):
             if not shard_files:
                 continue
-            sdir = os.path.join(out_root, f"shard={s:05d}")
+            # dash, not "shard=NNNNN": key=value dirs trigger Ray's hive
+            # partitioning and would surface a spurious 'shard' column,
+            # diverging the sharded schema from the unsharded one
+            sdir = os.path.join(out_root, f"shard-{s:05d}")
             if os.path.exists(os.path.join(sdir, "_SUCCESS")):
                 self._record(name, status="shard_skipped", shard=s,
                              out_dir=sdir)

@@ -273,7 +273,10 @@ class RayUrlStore:
                             e.state = HostState.ALL_VISITED
                     return domain + p
             e.state = HostState.ALL_VISITED
-        self._refresh_done()
+        # no full-store _refresh_done here: this entry's state was already
+        # updated in place, and bulk callers (get_download_urls /
+        # establish_download_schedule) refresh once per round — a per-draw
+        # scan made scheduling O(hosts^2)
         return None
 
     def get_download_urls(self, time_limit: float = 10.0,

@@ -121,7 +121,7 @@ def test_run_sharded_resumes_per_shard(tmp_path):
 
     # simulate a mid-run crash: delete ONE shard's marker
     out_root = ck._dir("sigtable")
-    victim = os.path.join(out_root, "shard=00001")
+    victim = os.path.join(out_root, "shard-00001")
     os.remove(os.path.join(victim, "_SUCCESS"))
 
     calls.clear()
@@ -133,3 +133,39 @@ def test_run_sharded_resumes_per_shard(tmp_path):
     got = sorted(out2.to_pandas()["y"])
     assert got == sorted(v * 2 for f in range(6) for v in
                          range(f * 10, f * 10 + 5))
+
+
+def test_run_persists_empty_stage(tmp_path):
+    """A zero-row stage must write a schema-bearing empty parquet so the
+    resumed read returns the same typed empty dataset."""
+    import pyarrow as pa
+    import ray.data as rd
+    from courlan_ray.config import DedupConfig
+    from courlan_ray.state.manifest import Checkpoint
+
+    def make():
+        return rd.from_arrow(pa.table({
+            "left_id": pa.array([], pa.string()),
+            "right_id": pa.array([], pa.string())}))
+
+    root = str(tmp_path / "ck")
+    ck = Checkpoint(root, DedupConfig())
+    out = ck.run("exact_edges", make)
+    assert out.count() == 0
+    assert out.schema().names == ["left_id", "right_id"]
+    # resume hits the cached directory
+    out2 = Checkpoint(root, DedupConfig()).run("exact_edges", make)
+    assert out2.count() == 0 and out2.schema().names == ["left_id", "right_id"]
+
+
+def test_run_sharded_no_spurious_partition_column(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from courlan_ray.config import DedupConfig
+    from courlan_ray.state.manifest import Checkpoint
+
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int64())}), p)
+    ck = Checkpoint(str(tmp_path / "ck"), DedupConfig())
+    out = ck.run_sharded("sigtable", [p], lambda ds: ds, n_shards=2)
+    assert out.schema().names == ["x"]          # no hive 'shard' column
