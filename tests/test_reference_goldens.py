@@ -308,3 +308,20 @@ def test_redirect_resolver_stage():
     assert out["url_final"].to_pylist() == ["http://a.example/final", "",
                                             "http://c.example/3"]
     assert out["redirect_ok"].to_pylist() == [True, False, True]
+
+
+def test_fast_tldinfo_matches_reference_regex_shortcut():
+    """fast=True mirrors the reference's regex shortcut EXACTLY — including
+    its deliberate lumping of vanity suffixes (alice.github.io ->
+    ('github', 'github.io')); only the slow path consults the PSL
+    (reference urlutils.py:11-17,29-36: DOMAIN_REGEX keeps the last two
+    labels and never looks at a suffix table)."""
+    from courlan_ray.functions.urls import get_tldinfo
+
+    assert get_tldinfo("http://alice.github.io/page", fast=True) == \
+        ("github", "github.io")
+    assert get_tldinfo("http://a.blogspot.com/x", fast=True) == \
+        ("blogspot", "blogspot.com")
+    # slow path applies the embedded suffix table instead
+    assert get_tldinfo("http://alice.github.io/page") == \
+        ("alice", "alice.github.io")
