@@ -77,16 +77,24 @@ def find_wordpress_target(url: str, lax: bool = False) -> str | None:
     return None
 
 
-def wordpress_sources(ds, *, lax: bool = False, text_col: str = "text"):
-    """URL-line Dataset -> WordPress site roots, one per first-seen host
-    (the whole script's pipeline).  First-seen = lowest input line number,
-    which reproduces the sequential script's known_hosts order-dependence
-    deterministically under parallel execution."""
+def wordpress_sources(ds, *, lax: bool = False, text_col: str = "text",
+                      ordered: bool = True):
+    """URL-line Dataset -> WordPress site roots, one per host.
+
+    ``ordered=True`` (parity mode): one target per FIRST-seen host in
+    input order, exactly the sequential script's known_hosts semantics —
+    this requires global line numbers, so the (bounded) line stream is
+    collected once.  ``ordered=False`` (scale mode): fully distributed,
+    keeps the lexicographically smallest target per host — deterministic
+    and order-free, for inputs too large to number on one node."""
     from ..stages.agg import grouped_agg
 
     def kernel(b: pa.Table) -> pa.Table:
         targets, hosts, lines = [], [], []
-        line_no = b["__line"].to_numpy(zero_copy_only=False)
+        if "__line" in b.schema.names:
+            line_no = b["__line"].to_numpy(zero_copy_only=False)
+        else:
+            line_no = np.zeros(b.num_rows, dtype=np.int64)
         for i, raw in enumerate(b[text_col].to_pylist()):
             url = raw.lower().rstrip("\n")
             if not (url.startswith("http") and len(url) > 11) \
@@ -105,18 +113,19 @@ def wordpress_sources(ds, *, lax: bool = False, text_col: str = "text"):
                          "target": pa.array(targets, pa.string()),
                          "__line": pa.array(lines, pa.int64())})
 
-    # stable line numbers for first-seen-host semantics
-    def add_lines(b: pa.Table, start: int) -> pa.Table:
-        n = b.num_rows
-        return b.append_column("__line", pa.array(
-            np.arange(start, start + n, dtype=np.int64)))
-
     import ray.data as rd
-    tbl = ds.to_pandas()          # line streams are modest; order matters
+    from ..stages.joins import attach_by_key
+
+    if not ordered:
+        cand = ds.map_batches(kernel, batch_format="pyarrow")
+        firsts = grouped_agg(cand, ["host"], [("target", "min", "target")])
+        return firsts.select_columns(["host", "target"])
+
+    # parity mode: global line numbers (bounded input; order matters)
+    tbl = ds.to_pandas()
     tbl["__line"] = np.arange(len(tbl), dtype=np.int64)
     cand = rd.from_pandas(tbl).map_batches(kernel, batch_format="pyarrow")
     firsts = grouped_agg(cand, ["host"], [("__line", "min", "__first")])
-    from ..stages.joins import attach_by_key
     joined = attach_by_key(cand, firsts, ["host"])
 
     def keep_first(b: pa.Table) -> pa.Table:

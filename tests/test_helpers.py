@@ -68,3 +68,13 @@ def test_cc_normalize_matches_reference():
     from courlan_ray.pipelines.helpers import cc_normalize
     got = cc_normalize(ds).to_pandas()["url"].tolist()
     assert got == want and len(got) >= 3
+
+
+def test_wordpress_sources_unordered_scale_mode():
+    ds = rd.from_arrow(pa.table({"text": pa.array(WP_URLS)}))
+    from courlan_ray.pipelines.helpers import wordpress_sources
+    got = wordpress_sources(ds, ordered=False).to_pandas()
+    ordered = wordpress_sources(ds).to_pandas()
+    # same host set; one row per host; targets all valid roots
+    assert sorted(got["host"]) == sorted(ordered["host"])
+    assert got["target"].str.startswith(("http://", "https://")).all()
