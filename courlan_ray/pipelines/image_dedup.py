@@ -79,6 +79,20 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
     # the actor pool; output is the narrow per-row signature table
     sigtable = stage("sigtable",
                      lambda: compute_signatures(ds, cfg, with_gates=True))
+    if sigtable.count() == 0:           # empty input: typed empty outputs
+        import ray.data as rd
+        from ..stages.verify import _EMPTY_OUT
+        empty_clusters = rd.from_arrow(pa.table({
+            "image_id": pa.array([], pa.string()),
+            "cluster_id": pa.array([], pa.string()),
+            "cluster_size": pa.array([], pa.int64()),
+            "is_representative": pa.array([], pa.bool_())}))
+        return {"clusters": empty_clusters,
+                "rejected": sigtable,
+                "verified_pairs": rd.from_arrow(_EMPTY_OUT),
+                "counters": rd.from_arrow(pa.table({
+                    "reject_reason": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64())}))}
     valid = sigtable.filter(expr="valid == True")
     rejected = sigtable.filter(expr="valid == False")
 

@@ -222,19 +222,20 @@ def cluster_assignments(edges_ds, all_ids_ds, cfg: DedupConfig):
         bid = batch["image_id"]
         probe = hash_strings(bid.to_pylist(), seed=0xC1A5)
         n = batch.num_rows
+        own = pc.cast(bid.combine_chunks() if
+                      isinstance(bid, pa.ChunkedArray) else bid, pa.string())
         if id_hash.size:
             pos = np.clip(np.searchsorted(id_hash, probe),
                           0, id_hash.size - 1)
             hit = id_hash[pos] == probe
+            cid = pack["cid"].take(pa.array(pos, pa.int64()))
+            cid = pc.if_else(pa.array(hit), cid, own)
+            size = np.where(hit, pack["size"][pos], 1)
         else:
-            pos = np.zeros(n, dtype=np.int64)
-            hit = np.zeros(n, dtype=bool)
-        cid = pack["cid"].take(pa.array(pos, pa.int64()))
-        cid = pc.if_else(pa.array(hit), cid,
-                         pc.cast(bid.combine_chunks() if
-                                 isinstance(bid, pa.ChunkedArray) else bid,
-                                 pa.string()))
-        size = np.where(hit, pack["size"][pos], 1)
+            # no merged components at all: every row is its own singleton
+            # (take() on the empty membership array would raise)
+            cid = own
+            size = np.ones(n, dtype=np.int64)
         return pa.table({
             "image_id": batch["image_id"],
             "cluster_id": cid,

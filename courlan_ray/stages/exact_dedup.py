@@ -72,7 +72,8 @@ def exact_dup_edges(keyed_ds, cfg: DedupConfig, id_col: str = "image_id"):
     import ray.data as rd
     from .joins import _collect, keyed_shuffle_partitions
 
-    if "exact_key" not in keyed_ds.schema().names:
+    schema = keyed_ds.schema()
+    if schema is None or "exact_key" not in schema.names:
         keyed_ds = add_exact_key(keyed_ds, cfg)
     narrow = keyed_ds.select_columns(["exact_key", id_col]).materialize()
     if narrow.count() <= cfg.verify_broadcast_max:
@@ -92,7 +93,9 @@ def exact_dedup(ds, cfg: DedupConfig, id_col: str = "image_id"):
     dup_edges: (left_id, right_id) feeding connected components so exact
     dups land in the same final cluster.
     """
-    keyed = ds if "exact_key" in ds.schema().names else add_exact_key(ds, cfg)
+    schema = ds.schema()
+    keyed = ds if (schema is not None and "exact_key" in schema.names) \
+        else add_exact_key(ds, cfg)
     edges = exact_dup_edges(keyed, cfg, id_col)
     survivors = filter_by_keys(keyed, edges, id_col, keep=False,
                                keys_col="right_id",

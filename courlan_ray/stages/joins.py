@@ -305,7 +305,10 @@ def _collect(ds) -> pa.Table:
     parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     if parts:
         return pa.concat_tables(parts)
-    return pa.Table.from_pylist([], schema=ds.schema().base_schema)
+    schema = ds.schema()
+    if schema is None:                 # fully-empty dataset: no blocks at all
+        return pa.table({})
+    return pa.Table.from_pylist([], schema=schema.base_schema)
 
 
 def safe_combine(x):

@@ -108,3 +108,23 @@ def test_forced_scale_paths_small_cluster(synth_path):
     clusters = out["clusters"].to_pandas()
     pairs, _ = synth.truth_tables(N, SEED)
     assert pair_recall(pa.Table.from_pandas(clusters), pairs) >= 0.99
+
+
+def test_single_row_and_empty_inputs(synth_path):
+    """Degenerate inputs: one row -> one singleton cluster; zero rows ->
+    typed empty outputs (no crash in membership gather / schema probes)."""
+    import ray.data as rd
+    one = dedup_pipeline(rd.read_parquet(synth_path).limit(1), DedupConfig())
+    df = one["clusters"].to_pandas()
+    assert len(df) <= 1
+    if len(df):
+        assert df["cluster_size"].tolist() == [1]
+        assert df["is_representative"].all()
+
+    empty = dedup_pipeline(
+        rd.read_parquet(synth_path).filter(expr="image_id == 'nope'"),
+        DedupConfig())
+    assert empty["clusters"].count() == 0
+    assert empty["verified_pairs"].count() == 0
+    assert empty["clusters"].schema().names == [
+        "image_id", "cluster_id", "cluster_size", "is_representative"]
