@@ -52,8 +52,11 @@ def run_bench() -> dict:
     from courlan_ray.pipelines.extras import _SF_ROWS, _sf_of
 
     # --- headline: flagship image dedup on the synthetic table ---
+    sf_val = _sf(SF_DIR)
+    known = SF_DIR.rstrip("/").endswith(("sf0.001", "sf0.01", "sf0.1"))
     n_rows = int(os.environ.get("RAY_GRAFT_SYNTH_ROWS", "0")) \
-        or _SF_ROWS[_sf_of(SF_DIR)]
+        or (_SF_ROWS[_sf_of(SF_DIR)] if known
+            else max(2000, int(max(sf_val, 0) * 200_000)))
     path = synth_parquet(n_rows, 42)            # cached; generation untimed
     # warm the OS page cache for real (parquet count() reads only metadata,
     # which left run 1 paying cold-disk reads inside the timed region)
@@ -65,7 +68,8 @@ def run_bench() -> dict:
 
     t0 = time.time()
     out = dedup_pipeline(rd.read_parquet(path), DedupConfig())
-    n_clustered = out["clusters"].count()
+    clusters = out["clusters"].materialize()   # pin: recall reuses it below
+    n_clustered = clusters.count()
     headline = time.time() - t0
 
     # dup-pair recall vs planted truth (untimed; the >=0.99 north-star bar)
@@ -73,7 +77,7 @@ def run_bench() -> dict:
     from courlan_ray.sources.synth import truth_tables
     from courlan_ray.stages.joins import _collect
     truth_pairs, _ = truth_tables(n_rows, 42)
-    recall = round(pair_recall(_collect(out["clusters"]), truth_pairs), 5)
+    recall = round(pair_recall(_collect(clusters), truth_pairs), 5)
 
     # --- representative per-query timings over the sf tables ---
     timings: dict[str, float] = {}
@@ -139,7 +143,7 @@ def run_scaling() -> dict:
 
     The sandbox host shows heavy noisy-neighbor jitter (identical runs
     measured 41-147 s), so each CPU config runs ``RAY_GRAFT_SCALING_REPS``
-    times (default 2) INTERLEAVED and the best (min-time) run per config is
+    times (default 3) INTERLEAVED and the best (min-time) run per config is
     compared — standard practice for throughput measurement on shared
     hardware.  All raw timings are reported alongside."""
     def mp_rate(procs: int, tasks: int = 48) -> float:

@@ -42,6 +42,26 @@ def parse_args(args=None) -> argparse.Namespace:
     return p.parse_args(args)
 
 
+def _read_lines(path: str):
+    """Input lines, decoded tolerantly and stripped — the reference opens
+    with errors='ignore' and strips every line (cli.py:104-106,140-152);
+    Ray's read_text decodes strictly and would abort on one bad byte.
+    Per-FILE parallelism (URL lists ship as many files at scale)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        out = []
+        for blob in b["bytes"].to_pylist():
+            out.extend(l.strip() for l in
+                       blob.decode("utf-8", errors="ignore").splitlines()
+                       if l.strip())
+        return pa.table({"text": pa.array(out, pa.string())})
+
+    return rd.read_binary_files(path).map_batches(to_lines,
+                                                  batch_format="pyarrow")
+
+
 def process_args(args: argparse.Namespace) -> None:
     import ray
     if not ray.is_initialized():
@@ -49,16 +69,21 @@ def process_args(args: argparse.Namespace) -> None:
                  include_dashboard=False, logging_level="ERROR")
     import ray.data as rd
     rd.DataContext.get_current().enable_progress_bars = False
+    if args.verbose:
+        import logging
+        logging.getLogger("courlan_ray").setLevel(logging.DEBUG)
 
     from .pipelines.url_pipeline import process_urls, sample_by_host
 
-    ds = rd.read_text(args.inputfile)
+    ds = _read_lines(args.inputfile)
 
     if args.sample:
+        # reference parity: sampling builds its store with language=None
+        # regardless of -l (reference cli.py:119-121)
         out = sample_by_host(ds, args.sample,
                              exclude_min=args.exclude_min,
                              exclude_max=args.exclude_max,
-                             strict=args.strict, language=args.language)
+                             strict=args.strict, language=None)
         with open(args.outputfile, "w", encoding="utf-8") as fh:
             for batch in out.iter_batches(batch_size=65536,
                                           batch_format="pyarrow"):
@@ -66,19 +91,26 @@ def process_args(args: argparse.Namespace) -> None:
                     fh.write(url + "\n")
         return
 
-    checked = process_urls(ds, strict=args.strict,
-                           language=args.language).materialize()
-    with open(args.outputfile, "w", encoding="utf-8") as fh:
-        for batch in checked.filter(expr="valid == True").iter_batches(
-                batch_size=65536, batch_format="pyarrow"):
-            for url in batch["url_norm"].to_pylist():
-                fh.write(url + "\n")
-    if args.discardedfile:
-        with open(args.discardedfile, "w", encoding="utf-8") as fh:
-            for batch in checked.filter(expr="valid == False").iter_batches(
-                    batch_size=65536, batch_format="pyarrow"):
-                for url in batch["url"].to_pylist():
-                    fh.write(url + "\n")
+    # ONE streaming pass writes both files (bounded memory; the reference
+    # also splits accepted/discarded inside a single loop, cli.py:171-176)
+    checked = process_urls(ds, strict=args.strict, language=args.language)
+    disc_fh = open(args.discardedfile, "w", encoding="utf-8") \
+        if args.discardedfile else None
+    try:
+        with open(args.outputfile, "w", encoding="utf-8") as fh:
+            for batch in checked.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow"):
+                valid = batch["valid"].to_pylist()
+                norm = batch["url_norm"].to_pylist()
+                raw = batch["url"].to_pylist()
+                for ok, u_norm, u_raw in zip(valid, norm, raw):
+                    if ok:
+                        fh.write(u_norm + "\n")
+                    elif disc_fh is not None:
+                        disc_fh.write(u_raw + "\n")
+    finally:
+        if disc_fh is not None:
+            disc_fh.close()
 
 
 def main() -> None:

@@ -10,9 +10,7 @@ resume invalidates downstream state when they change (SURVEY.md §7.4).
 
 from __future__ import annotations
 
-import hashlib
-import json
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, field
 
 
 @dataclass(frozen=True)
@@ -93,17 +91,10 @@ class DedupConfig:
     def rows_per_band(self) -> int:
         return self.num_perm // self.bands
 
-    def fingerprint(self) -> str:
-        """Stable hash of all semantic parameters, used by the checkpoint
-        manifest to detect config changes (SURVEY.md §7.4)."""
-        d = asdict(self)
-        # execution sizing does not change results
-        for k in ("batch_size", "signature_concurrency", "shuffle_partitions",
-                  "driver_cc_max_pairs", "lsh_driver_link_max",
-                  "verify_broadcast_max"):
-            d.pop(k, None)
-        blob = json.dumps(d, sort_keys=True, default=str).encode()
-        return hashlib.sha256(blob).hexdigest()[:16]
+    # NOTE: checkpoint invalidation hashes PER-STAGE field subsets — the
+    # single source of truth is state/manifest.py STAGE_FIELDS (a whole-
+    # config fingerprint would needlessly invalidate every stage on any
+    # change; a previous whole-config fingerprint() here was dead code)
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -81,12 +81,9 @@ _TRACKER_PARAM_RE = re.compile(
     r"|(?:\b|_)(?:aff|affi|affiliate|campaign|cl?id|eid|ga|gl|kwd|keyword|"
     r"medium|ref|referr?er|session|source|uid|xtor)")
 
-ALLOWED_PARAMS = frozenset(
-    "aid article_id artnr id itemid objectid p page pagenum page_id pid "
-    "post postid product_id".split())
-LANG_PARAMS = frozenset({"lang", "language"})
-TARGET_LANGS = {"de": {"de", "deutsch", "ger", "german"},
-                "en": {"en", "english", "eng"}}
+# clone-and-edit override point lives in settings.py like the reference's
+from ..settings import (ALLOWED_PARAMS, LANG_PARAMS,  # noqa: F401
+                        TARGET_LANGS)
 
 # ISO 639-1 two-letter codes (public inventory) for locale plausibility
 ISO_639_1 = frozenset(

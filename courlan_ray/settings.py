@@ -27,3 +27,13 @@ BLACKLIST = {
     "web", "weibo", "whatsapp", "xhamster", "xnxx", "xvideos", "yahoo",
     "yandex", "youjizz", "youporn", "youtube", "youtu", "zoom",
 }
+
+
+# query-parameter filtering (reference settings.py ALLOWED_PARAMS /
+# LANG_PARAMS / TARGET_LANGS — same clone-and-edit override point)
+ALLOWED_PARAMS = frozenset(
+    "aid article_id artnr id itemid objectid p page pagenum page_id pid "
+    "post postid product_id".split())
+LANG_PARAMS = frozenset({"lang", "language"})
+TARGET_LANGS = {"de": {"de", "deutsch", "ger", "german"},
+                "en": {"en", "english", "eng"}}
