@@ -254,8 +254,11 @@ class RayUrlStore:
         return [u for u in urls if not self.is_known(u)]
 
     def filter_unvisited_urls(self, urls: list[str]) -> list[str]:
-        return [u for u in urls if self.is_known(u)
-                and not self.has_been_visited(u)]
+        """Drop only KNOWN-AND-VISITED URLs — unknown URLs count as
+        unvisited and are returned, exactly the reference's
+        ``_search_urls(switch=2)`` (urlstore.py:277-295; its own test
+        urlstore_tests.py:318 probes unknown URLs and expects them back)."""
+        return [u for u in urls if not self.has_been_visited(u)]
 
     # ------------------------------------------------------------ crawling
 

@@ -39,6 +39,7 @@ def test_cli_filtering(tmp_path):
 
 def test_cli_language_filter(tmp_path):
     accepted, _ = _run(tmp_path, "--language", "en")
+    assert "https://www.example.org/article/one.html" in accepted
     assert all("/de/" not in u for u in accepted)
 
 
@@ -53,4 +54,5 @@ def test_cli_sample(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     lines = out.read_text().splitlines()
     hosts = {u.split("/", 3)[2] for u in lines}
+    assert len(lines) >= 1                   # sampler must emit something
     assert len(hosts) == len(lines)          # one per host

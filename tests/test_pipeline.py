@@ -114,9 +114,13 @@ def test_single_row_and_empty_inputs(synth_path):
     """Degenerate inputs: one row -> one singleton cluster; zero rows ->
     typed empty outputs (no crash in membership gather / schema probes)."""
     import ray.data as rd
-    one = dedup_pipeline(rd.read_parquet(synth_path).limit(1), DedupConfig())
-    df = one["clusters"].to_pandas()
-    assert len(df) <= 1
+    full = dedup_pipeline(rd.read_parquet(synth_path).limit(1), DedupConfig())
+    df = full["clusters"].to_pandas()
+    one_valid = dedup_pipeline(
+        rd.read_parquet(synth_path).limit(1), DedupConfig())["rejected"] \
+        .count() == 0
+    # exactly one singleton when the row passes gates; zero when rejected
+    assert len(df) == (1 if one_valid else 0)
     if len(df):
         assert df["cluster_size"].tolist() == [1]
         assert df["is_representative"].all()

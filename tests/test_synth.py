@@ -83,3 +83,5 @@ def test_read_table_dispatch(tmp_path):
     except ImportError:
         with pytest.raises(NotImplementedError):
             read_table(str(tmp_path / "t.lance"))
+    else:   # pragma: no cover - no lance wheel in this sandbox
+        pytest.skip("lance installed: dispatch path exercised elsewhere")

@@ -64,7 +64,10 @@ def test_filter_unknown_and_unvisited():
     assert s.filter_unknown_urls(probe) == ["https://example.org/new",
                                             "https://nowhere.net/1"]
     s.get_url("https://example.org")
-    assert s.filter_unvisited_urls(probe) == []
+    # reference semantics (urlstore_tests.py:318): unknown URLs count as
+    # unvisited and come back; only known-and-visited URLs are removed
+    assert s.filter_unvisited_urls(probe) == ["https://example.org/new",
+                                              "https://nowhere.net/1"]
     assert s.filter_unvisited_urls(["https://example.org/b"]) == [
         "https://example.org/b"]
 
@@ -104,8 +107,7 @@ def test_add_from_html():
     s.add_from_html(html, "https://x.org/")
     known = s.find_known_urls("https://x.org")
     # navigation link is priority -> left insert -> first
-    assert known[0] == "/category/news/".join(["https://x.org", ""]) or \
-        known[0] == "https://x.org/category/news/"
+    assert known[0] == "https://x.org/category/news/"
     assert "https://x.org/article/a.html" in known
 
 
