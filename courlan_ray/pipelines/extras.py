@@ -118,6 +118,24 @@ def doc_simhash_pairs(sf_dir: str):
                                  max_ham=3)
 
 
+def doc_token_counts_bpe(sf_dir: str):
+    """Per-doc whitespace vs BPE-ish (GPT-2 pretokenizer regex) token
+    counts.  Rows-only: RE2 (DuckDB) lacks the lookahead the BPE-ish
+    pretokenizer needs, so no SQL twin exists; the kernel is covered by
+    tests/test_textstats.py."""
+    from ..functions.textstats import token_counts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_ws": pa.array(token_counts(texts, "whitespace")),
+            "n_bpeish": pa.array(token_counts(texts, "bpeish"))})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def doc_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (rolling-hash selection)."""
     from ..functions.hashing import winnowing_fingerprints
@@ -647,6 +665,7 @@ EXTRAS = {
     "doc_minhash_clusters": doc_minhash_clusters,
     "doc_simhash": doc_simhash,
     "doc_simhash_pairs": doc_simhash_pairs,
+    "doc_token_counts_bpe": doc_token_counts_bpe,
     "doc_langid": doc_langid,
     "doc_quality": doc_quality,
     "doc_fingerprints": doc_fingerprints,
