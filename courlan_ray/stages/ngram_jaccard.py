@@ -33,6 +33,12 @@ Hash-identity caveat: gram sets are represented by 64-bit chain hashes of
 token hashes; two distinct grams colliding would merge set elements.  At
 p=2^-64 per pair of grams this is negligible even at 10^12 rows, and the
 verified jaccard values are exact for the hashed-set semantics.
+
+Duplicate-heavy contract: m IDENTICAL docs emit m(m-1)/2 pairs — that is
+the exact answer, quadratic by definition, not a blowup bug (verified:
+2000 identical docs -> 1,999,000 pairs through both paths).  Run
+``stages/exact_dedup`` first when the corpus carries exact duplicates;
+the exact tier is for near-dup pairs among distinct docs.
 """
 
 from __future__ import annotations

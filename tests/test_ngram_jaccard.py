@@ -93,3 +93,16 @@ def test_string_ids_scale_path():
                               driver_max=0).to_pandas()
     got = {(l, r) for l, r in zip(out["left_id"], out["right_id"])}
     assert ("d0", "d3") in got and ("d0", "d1") in got
+
+
+def test_identical_docs_emit_complete_pair_set():
+    """m identical docs -> exactly m(m-1)/2 pairs at jaccard 1.0 (the
+    documented duplicate-heavy contract; no OOM, no silent truncation)."""
+    import ray.data as rd
+    m = 300
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(m), pa.int64()),
+        "text": pa.array(["one two three four five six seven"] * m)}))
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.9).to_pandas()
+    assert len(out) == m * (m - 1) // 2
+    assert (out["jaccard"] == 1.0).all()
