@@ -33,9 +33,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents for the SQL-expressible queries, including the
-    three SQL-expressible extras (langid, quality, batched kNN).  The
-    remaining extras are intentionally omitted (MinHash/LSH/ANN/union-find
-    are not ANSI-SQL expressible) -> driver records rows-only checks."""
+    SQL-expressible extras (langid, quality, batched kNN, BPE-ish token
+    counts, the flagship's gate counters).  The remaining extras are
+    intentionally omitted (MinHash/LSH/ANN/union-find are not ANSI-SQL
+    expressible) -> driver records rows-only checks."""
     from courlan_ray.pipelines.queries import ORACLES
-    from courlan_ray.pipelines.extras import EXTRA_ORACLES
+    from courlan_ray.pipelines.extras import EXTRA_ORACLES, ensure_oracle_inputs
+    # image_dedup_counters' SQL scans the flagship's synthetic input by
+    # path; generate it now so the DuckDB side works in any run order
+    ensure_oracle_inputs()
     return {**ORACLES, **EXTRA_ORACLES}

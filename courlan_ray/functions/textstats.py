@@ -39,6 +39,14 @@ for _i, _lang in enumerate(_LANGS):
 _TOKEN_RE = r"[^\W\d_]+(?:'[^\W\d_]+)?"
 # BPE-ish pretokenizer in the GPT-2 style: words / numbers / punct runs
 BPEISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)"
+# RE2-expressible variant: the trailing-whitespace lookahead `\s+(?!\S)`
+# becomes a plain `\s+` LAST alternative.  Leftmost-first alternation means
+# `\s+` only fires where no ` ?<token>` alternative matches, so the two
+# variants segment whitespace runs differently ("  w": [" "," w"] vs
+# ["  ","w"]) but produce the SAME token COUNT; parity is pinned by
+# tests/test_textstats.py.  This is what lets doc_token_counts_bpe carry a
+# DuckDB oracle (RE2 has no lookahead).
+BPEISH_RE2 = r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+"
 
 
 def _explode_tokens(texts: pd.Series) -> tuple[pd.Series, np.ndarray]:
@@ -139,4 +147,6 @@ def token_counts(texts, mode: str = "whitespace") -> np.ndarray:
         return s.str.count(r"\S+").to_numpy(dtype=np.int64)
     if mode == "bpeish":
         return s.str.count(BPEISH_RE).to_numpy(dtype=np.int64)
+    if mode == "bpeish_re2":
+        return s.str.count(BPEISH_RE2).to_numpy(dtype=np.int64)
     raise ValueError(f"unknown mode {mode!r}")

@@ -1,13 +1,15 @@
 """Query pipelines beyond the core SQL set.
 
-Three are DuckDB-oracled (``EXTRA_ORACLES``): language-ID, quality scoring
-and batched kNN — their scoring kernels are pure arithmetic over tokens /
-vectors, so an exact ANSI-SQL twin exists (float rounding is half-up via
+DuckDB-oracled (``EXTRA_ORACLES``): language-ID, quality scoring, batched
+kNN, BPE-ish token counts (RE2-safe pretokenizer), exact n-gram Jaccard,
+window/asof/range/quantile queries, and the flagship pipeline's
+reject-reason counters (the gate chain recomputed independently in SQL
+over the same synthetic parquet).  Float rounding is half-up via
 ``_round4`` on BOTH sides; numpy's default half-even diverges from DuckDB's
-half-away on exact .00005 boundaries, measured 4-8 docs per 500 at sf0.01).
+half-away on exact .00005 boundaries, measured 4-8 docs per 500 at sf0.01.
 
 The rest (MinHash/LSH clustering, SimHash, winnowing fingerprints, LSH ANN,
-embedding near-dup, the flagship image pipeline) are not ANSI-SQL
+embedding near-dup, the flagship's cluster assignments) are not ANSI-SQL
 expressible -> the driver records rows-only checks.  All deterministic, so
 row counts and values are stable across driver runs.
 """
@@ -119,10 +121,12 @@ def doc_simhash_pairs(sf_dir: str):
 
 
 def doc_token_counts_bpe(sf_dir: str):
-    """Per-doc whitespace vs BPE-ish (GPT-2 pretokenizer regex) token
-    counts.  Rows-only: RE2 (DuckDB) lacks the lookahead the BPE-ish
-    pretokenizer needs, so no SQL twin exists; the kernel is covered by
-    tests/test_textstats.py."""
+    """Per-doc whitespace vs BPE-ish (GPT-2-style pretokenizer) token
+    counts.  Uses the RE2-expressible pretokenizer variant
+    (textstats.BPEISH_RE2 — plain trailing `\\s+` instead of the lookahead
+    `\\s+(?!\\S)`; identical token COUNTS, different whitespace-run
+    segmentation) so a full DuckDB oracle exists
+    (EXTRA_ORACLES['doc_token_counts_bpe'])."""
     from ..functions.textstats import token_counts
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -131,7 +135,7 @@ def doc_token_counts_bpe(sf_dir: str):
         return pa.table({
             "doc_id": b["doc_id"],
             "n_ws": pa.array(token_counts(texts, "whitespace")),
-            "n_bpeish": pa.array(token_counts(texts, "bpeish"))})
+            "n_bpeish": pa.array(token_counts(texts, "bpeish_re2"))})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
 
@@ -461,6 +465,64 @@ def image_dedup_counters(sf_dir: str):
     return _image_pipeline(sf_dir)["counters"].sort("reject_reason")
 
 
+def synth_parquet_path(sf_dir: str) -> str:
+    """Path of the flagship's synthetic input for this sf (generating it
+    if absent) — the parquet the image_dedup_* queries read AND the
+    image_dedup_counters oracle SQL scans via read_parquet()."""
+    from ..sources.synth import synth_parquet
+    return synth_parquet(_SF_ROWS[_sf_of(sf_dir)], 42)
+
+
+def ensure_oracle_inputs() -> None:
+    """Materialize side inputs the oracle SQL strings reference by path.
+    Called by __ray_entry__.oracle_sql() so the driver's DuckDB run finds
+    the synthetic flagship table regardless of query/oracle run order."""
+    synth_parquet_path("sf0.01")   # the driver compares at sf=0.01
+
+
+def _image_counters_sql(parquet_glob: str) -> str:
+    """DuckDB twin of the flagship's reject-reason counters: the
+    canonicalization gate chain (stages/canonicalize.py — basic length ->
+    format allowlist -> dimension sanity -> payload magic -> spam) computed
+    independently in SQL over the same synthetic input parquet.  The scrub
+    chain mirrors functions/caption.scrub_captions step by step; constants
+    mirror DedupConfig defaults (min/max caption len 10/500, formats
+    jpeg+png, dims [8, 65536], magics FPNG/FJPG = hex 46504E47/464A5047).
+    DEFAULT_CONFIG.language is None, so there is no language gate."""
+    return f"""
+    WITH norm AS (
+      SELECT bytes, w, h, fmt,
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(caption,
+                    '(?s)<!\\[CDATA\\[(.*?)\\]\\]>', '\\1', 'g'),
+                  '<[^<>]*>', ' ', 'g'),
+              '&amp;','&'),'&lt;','<'),'&gt;','>'),'&quot;','"'),
+              '&#39;',chr(39)),'&apos;',chr(39)),'&nbsp;',' '),
+            '[\\x00-\\x1f\\x7f]+', ' ', 'g'),
+          '[?&]?\\butm_[a-z_]+=?\\S*', ' ', 'g'),
+        '\\s+', ' ', 'g')) AS cap
+      FROM read_parquet('{parquet_glob}')),
+    g AS (
+      SELECT CASE
+        WHEN length(cap) < 10 THEN 'caption_too_short'
+        WHEN length(cap) >= 500 THEN 'caption_too_long'
+        WHEN fmt NOT IN ('jpeg','png') THEN 'bad_fmt'
+        WHEN w < 8 OR h < 8 OR w > 65536 OR h > 65536 THEN 'bad_dims'
+        WHEN NOT (hex(bytes)[1:8] IN ('46504E47','464A5047'))
+             OR octet_length(bytes) < 12 THEN 'bad_image'
+        WHEN regexp_matches(cap,
+          '(?i)\\b(?:casino|viagra|xxx|porn|free money|click here)\\b|https?://\\S+')
+          THEN 'spam'
+        ELSE '' END AS reject_reason
+      FROM norm)
+    SELECT reject_reason, CAST(count(*) AS BIGINT) AS n
+    FROM g GROUP BY 1 ORDER BY 1"""
+
+
 def _sql_word_list(words) -> str:
     """A DuckDB list literal from a stopword set (single source of truth:
     textstats._STOPWORDS)."""
@@ -488,11 +550,25 @@ def _build_extra_oracles() -> dict[str, str]:
                  + " ".join(f"WHEN s_{lg} = best THEN '{lg}'"
                             for lg in _LANGS) + " END")
 
+    # the driver compares at sf=0.01 -> the flagship's synthetic input is
+    # the n6000 cache (ensure_oracle_inputs() generates it before DuckDB
+    # runs); the same builder is tested at other n in tests/test_oracles.py
+    synth_001 = f"/tmp/courlan_ray_synth/n{_SF_ROWS['0.01']}-s42/*.parquet"
+
     return {
-        "doc_langid": f"""
+        "image_dedup_counters": _image_counters_sql(synth_001),
+        # BPE-ish token counts: RE2-safe pretokenizer (see BPEISH_RE2)
+        "doc_token_counts_bpe": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(text,
+                 $$'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+$$))
+                 AS BIGINT) AS n_bpeish
+        FROM documents""",
+        "doc_langid": rf"""
         WITH t AS (
           SELECT doc_id, lang,
-                 regexp_extract_all(lower(text), '[a-z]+(?:''[a-z]+)?') AS toks
+                 regexp_extract_all(lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?') AS toks
           FROM documents),
         s AS (
           SELECT doc_id, lang, len(toks) AS total,
@@ -504,14 +580,14 @@ def _build_extra_oracles() -> dict[str, str]:
                floor(best / greatest(total, 1)::double * 10000 + 0.5) / 10000
                  AS conf
         FROM b""",
-        "doc_quality": f"""
+        "doc_quality": rf"""
         WITH t AS (
           SELECT doc_id,
-                 regexp_extract_all(lower(text), '[a-z]+(?:''[a-z]+)?') AS toks,
+                 regexp_extract_all(lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?') AS toks,
                  length(text) AS n_chars,
-                 len(regexp_extract_all(text, '[^\\W\\d_]')) AS n_alpha,
-                 len(regexp_extract_all(text, '\\d')) AS n_digit,
-                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+                 len(regexp_extract_all(text, '[^\W\d_]')) AS n_alpha,
+                 len(regexp_extract_all(text, '\d')) AS n_digit,
+                 len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
           FROM documents),
         s AS (
           SELECT doc_id, n_chars, n_alpha, n_digit, n_punct,
@@ -544,10 +620,10 @@ def _build_extra_oracles() -> dict[str, str]:
         # exact n-gram Jaccard: the blocking is lossless (J >= t > 0 implies
         # a shared gram), so the naive SQL self-join is a true twin of the
         # prefix-filtered Ray path; unrounded value gates, output rounded
-        "doc_ngram_jaccard": """
+        "doc_ngram_jaccard": r"""
         WITH t AS (
           SELECT doc_id,
-                 regexp_extract_all(lower(text), '[a-z]+(?:''[a-z]+)?') AS toks
+                 regexp_extract_all(lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?') AS toks
           FROM documents),
         g AS (
           SELECT doc_id, list_distinct(list_transform(

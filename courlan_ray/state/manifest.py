@@ -167,6 +167,17 @@ class Checkpoint:
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(sdir, ignore_errors=True)
             ds.write_parquet(tmp)
+            # mirror run(): a zero-row shard (e.g. all rows filtered) writes
+            # NO files — write_parquet may not even create the directory —
+            # so persist one empty schema-bearing file before the rename
+            os.makedirs(tmp, exist_ok=True)
+            if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                schema = ds.schema()
+                empty = pa.table({n: pa.array([], t) for n, t in
+                                  zip(schema.names, schema.types)})
+                pq.write_table(empty, os.path.join(tmp, "empty.parquet"))
             os.replace(tmp, sdir)
             rows = rd.read_parquet(sdir).count()
             with open(os.path.join(sdir, "_SUCCESS"), "w") as fh:

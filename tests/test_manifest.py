@@ -169,3 +169,40 @@ def test_run_sharded_no_spurious_partition_column(tmp_path):
     ck = Checkpoint(str(tmp_path / "ck"), DedupConfig())
     out = ck.run_sharded("sigtable", [p], lambda ds: ds, n_shards=2)
     assert out.schema().names == ["x"]          # no hive 'shard' column
+
+def test_run_sharded_empty_shard(tmp_path):
+    """A shard whose transform drops every row must still complete (write a
+    schema-bearing empty parquet, mark _SUCCESS) instead of crashing on the
+    missing tmp directory — ADVICE round 2 (manifest.py run_sharded)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from courlan_ray.config import DedupConfig
+    from courlan_ray.state.manifest import Checkpoint
+
+    files = []
+    for i in range(2):
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(pa.table({"x": pa.array([i * 10 + j for j in range(5)],
+                                               pa.int64())}), p)
+        files.append(p)
+
+    def make(ds):
+        # drops ALL rows of shard 1 (x >= 10), keeps shard 0
+        return ds.filter(expr="x < 5")
+
+    root = str(tmp_path / "ck")
+    ck = Checkpoint(root, DedupConfig())
+    out = ck.run_sharded("sigtable", files, make, n_shards=2)
+    assert out.count() == 5
+    assert out.schema().names == ["x"]
+    out_root = ck._dir("sigtable")
+    # both shards completed (markers present), incl. the empty one
+    for s in range(2):
+        assert os.path.exists(os.path.join(out_root, f"shard-{s:05d}",
+                                           "_SUCCESS"))
+    # resume recomputes nothing and returns the same rows
+    out2 = Checkpoint(root, DedupConfig()).run_sharded(
+        "sigtable", files, lambda ds: (_ for _ in ()).throw(
+            AssertionError("shard recomputed")), n_shards=2)
+    assert out2.count() == 5

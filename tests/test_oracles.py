@@ -40,3 +40,20 @@ def test_extra_oracle_matches(name):
     assert list(ray_df.columns) == list(ora_df.columns), f"{name}: schema"
     pd.testing.assert_frame_equal(ray_df, ora_df, check_dtype=False,
                                   check_exact=True)
+
+
+def test_image_counters_sql_builder_generalizes():
+    """The image_dedup_counters oracle builder is correct at an n OTHER
+    than the driver's sf0.01 (pins the SQL gate chain itself, not one
+    row-count accident)."""
+    from courlan_ray.config import DEFAULT_CONFIG
+    from courlan_ray.pipelines.extras import _image_counters_sql
+    from courlan_ray.sources.synth import synth_parquet, synth_table
+    from courlan_ray.stages.canonicalize import canonicalize_batch
+
+    path = synth_parquet(2000, 42)
+    df = duckdb.connect().execute(
+        _image_counters_sql(path + "/*.parquet")).df()
+    truth = (canonicalize_batch(synth_table(2000, 42), DEFAULT_CONFIG)
+             .to_pandas()["reject_reason"].value_counts().to_dict())
+    assert dict(zip(df["reject_reason"], df["n"])) == truth
