@@ -131,3 +131,33 @@ def test_ann_ivf_deterministic():
     a = ann_ivf(_ds(ids, vecs), q, 3, n_centroids=8, seed=5).to_pandas()
     b = ann_ivf(_ds(ids, vecs), q, 3, n_centroids=8, seed=5).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_empty_corpus_and_zero_queries(ray_session):
+    """0-row corpus / 0 queries return typed empty tables instead of the
+    1-D pair_arr IndexError (ADVICE round 2, stages/ann.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from courlan_ray.stages.ann import ann_ivf, ann_lsh, knn_bruteforce
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    q = np.random.default_rng(0).standard_normal((3, 8))
+
+    for fn in (ann_ivf, ann_lsh, knn_bruteforce):
+        out = fn(empty, q, 5)
+        assert out.num_rows == 0
+        assert out.column_names == ["query_idx", "vec_id", "cos_sim"]
+
+    # 0 queries over a non-empty corpus
+    vecs = np.random.default_rng(1).standard_normal((20, 8))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(20), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64()))}))
+    zq = np.zeros((0, 8))
+    for fn in (ann_ivf, ann_lsh, knn_bruteforce):
+        out = fn(ds, zq, 5)
+        assert out.num_rows == 0
+        assert out.column_names == ["query_idx", "vec_id", "cos_sim"]
