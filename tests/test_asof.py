@@ -169,3 +169,56 @@ def test_asof_tolerance_matches_pandas(strict):
     lhs = got.set_index("lid")["rv"]
     rhs = want.set_index("lid")["rv"]
     assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all()
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_chunked_hot_key_parity(strict):
+    """chunk_ns boundary replication is exact: chunked vs unchunked output
+    identical on a corpus where ONE key holds 50% of all rows (VERDICT
+    round 2 next #5)."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    # key 0 is hot: half of left and right rows
+    k_l = np.where(np.arange(n) % 2 == 0, 0,
+                   rng.integers(1, 20, n)).astype(np.int64)
+    k_r = np.where(np.arange(n // 2) % 2 == 0, 0,
+                   rng.integers(1, 20, n // 2)).astype(np.int64)
+    left = pd.DataFrame({
+        "k": k_l, "t": rng.integers(0, 50_000, n).astype(np.int64),
+        "lid": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": k_r, "t": rng.integers(0, 50_000, n // 2).astype(np.int64),
+        "rv": rng.random(n // 2)}).drop_duplicates(["k", "t"])
+
+    def run(**kw):
+        out = asof_join(
+            rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+            on="t", by="k", left_cols=["lid"], right_cols=["rv"],
+            strict=strict, right_suffix="", tolerance_ns=1_000,
+            **kw).to_pandas()
+        return out.sort_values("lid").reset_index(drop=True)
+
+    plain = run()
+    chunked = run(chunk_ns=1_000)          # chunk == tolerance: max splits
+    wider = run(chunk_ns=7_777)            # unaligned chunk width
+    pd.testing.assert_frame_equal(plain, chunked)
+    pd.testing.assert_frame_equal(plain, wider)
+    assert plain["rv"].notna().sum() > 100     # non-vacuous
+
+
+def test_asof_chunk_requires_tolerance():
+    left = pd.DataFrame({"k": [1], "t": [1], "lid": [0]})
+    right = pd.DataFrame({"k": [1], "t": [0], "rv": [1.0]})
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+            on="t", by="k", left_cols=["lid"], right_cols=["rv"],
+            chunk_ns=100)
+    with pytest.raises(ValueError, match="chunk_ns"):
+        asof_join(
+            rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+            on="t", by="k", left_cols=["lid"], right_cols=["rv"],
+            tolerance_ns=200, chunk_ns=100)
