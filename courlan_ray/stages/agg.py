@@ -102,13 +102,12 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
         return pa.table(cols)
 
     if mode == "shuffle":
-        from .joins import keyed_shuffle_partitions
+        from .joins import keyed_repartition, keyed_shuffle_partitions
         parts = keyed_shuffle_partitions(64)
-        return (ds.map_batches(partial, batch_format="pyarrow",
-                               batch_size=None)
-                  .repartition(parts, keys=keys)
-                  .map_batches(combine, batch_format="pyarrow",
-                               batch_size=None))
+        pre = ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+        return keyed_repartition(pre, parts, keys).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
 
     cur = ds.map_batches(partial, batch_format="pyarrow",
                          batch_size=None).materialize()
@@ -148,10 +147,11 @@ def distinct_by_key(ds, key: str, *, approx_count: int | None = None,
 
     big = approx_count is not None and approx_count > tree_max_groups
     if big:
-        from .joins import keyed_shuffle_partitions
-        return (ds.map_batches(uniq, batch_format="pyarrow", batch_size=None)
-                  .repartition(keyed_shuffle_partitions(64), keys=[key])
-                  .map_batches(uniq, batch_format="pyarrow", batch_size=None))
+        from .joins import keyed_repartition, keyed_shuffle_partitions
+        pre = ds.map_batches(uniq, batch_format="pyarrow", batch_size=None)
+        return keyed_repartition(pre, keyed_shuffle_partitions(64),
+                                 [key]).map_batches(
+            uniq, batch_format="pyarrow", batch_size=None)
 
     cur = ds.map_batches(uniq, batch_format="pyarrow",
                          batch_size=None).materialize()

@@ -114,7 +114,7 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
     unbounded lookback cannot chunk — any right row could match) and
     ``chunk_ns >= tolerance_ns`` (a lookback spans at most one chunk
     boundary)."""
-    from .joins import keyed_shuffle_partitions
+    from .joins import keyed_repartition, keyed_shuffle_partitions
 
     if chunk_ns is not None:
         if tolerance_ns is None:
@@ -245,5 +245,5 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
 
     parts = keyed_shuffle_partitions(num_partitions)
     shuffle_keys = [by, "__chunk"] if chunked else [by]
-    return (env.repartition(parts, keys=shuffle_keys)
+    return (keyed_repartition(env, parts, shuffle_keys)
                .map_batches(kernel, batch_format="pyarrow", batch_size=None))

@@ -339,7 +339,7 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     import time
 
     import ray.data as rd
-    from .joins import _collect, keyed_shuffle_partitions
+    from .joins import _collect, keyed_repartition, keyed_shuffle_partitions
 
     prof = bool(os.environ.get("COURLAN_RAY_PROFILE"))
     t0 = time.time()
@@ -376,7 +376,7 @@ def candidate_pairs(sig_ds, cfg: DedupConfig):
     # for this shuffle at 16 CPUs) — see joins.keyed_shuffle_partitions,
     # which is also the concurrent-pool deadlock guard.
     parts = keyed_shuffle_partitions(cfg.shuffle_partitions)
-    canonical = (st1.repartition(parts, keys=["bucket"])
+    canonical = (keyed_repartition(st1, parts, ["bucket"])
                  .map_batches(lambda b: _link_all(b, cap),
                               batch_format="pyarrow", batch_size=None))
     if prof:

@@ -91,7 +91,7 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
 
     ``chunk_ns``: optional hot-key time-splitting (see module docstring);
     must be >= ``width_ns``."""
-    from .joins import keyed_shuffle_partitions, safe_combine
+    from .joins import keyed_repartition, keyed_shuffle_partitions, safe_combine
 
     if chunk_ns is not None and chunk_ns < width_ns:
         raise ValueError("chunk_ns must be >= width_ns (a window may span "
@@ -163,9 +163,9 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
     parts = keyed_shuffle_partitions(num_partitions)
     if chunked:
         env = ds.map_batches(explode, batch_format="pyarrow")
-        env = env.repartition(parts, keys=[by, "__chunk"])
+        env = keyed_repartition(env, parts, [by, "__chunk"])
     else:
-        env = ds.repartition(parts, keys=[by])
+        env = keyed_repartition(ds, parts, [by])
     return env.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
 
@@ -177,7 +177,7 @@ def sessionize(ds, *, on: str, by: str, gap_ns: int,
     ``keep_cols`` + ``by`` + ``on`` + ``session_num`` (1-based per key)
     + ``session_id`` (key-qualified string).  Same single-keyed-shuffle
     shape and partitioning assumption as ``rolling_window_agg``."""
-    from .joins import keyed_shuffle_partitions, safe_combine
+    from .joins import keyed_repartition, keyed_shuffle_partitions, safe_combine
 
     keep = keep_cols or []
 
@@ -217,5 +217,5 @@ def sessionize(ds, *, on: str, by: str, gap_ns: int,
         return pa.table(cols)
 
     parts = keyed_shuffle_partitions(num_partitions)
-    return (ds.repartition(parts, keys=[by])
+    return (keyed_repartition(ds, parts, [by])
               .map_batches(kernel, batch_format="pyarrow", batch_size=None))
