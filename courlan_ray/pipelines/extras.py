@@ -454,6 +454,31 @@ def _image_pipeline(sf_dir: str) -> dict:
     return _IMG_MEMO[key]
 
 
+_AUDIO_ROWS = {"0.001": 300, "0.01": 900, "0.1": 3000}
+
+
+def audio_dedup_pairs(sf_dir: str):
+    """Audio near-dup pairs over the deterministic synthetic WAV table
+    (sources/audiosynth.py): WAV decode + 64-bit spectral fingerprint in
+    an actor pool, exact pigeonhole Hamming-ball pairing (<= 3 bits).
+    Rows-only driver check (spectral hashing is not SQL-expressible);
+    planted-truth recall/precision pinned in tests/test_audio.py."""
+    from ..sources.audiosynth import synth_audio_dataset
+    from ..stages.multimodal import audio_dedup_pairs as pairs
+    n = _AUDIO_ROWS[_sf_of(sf_dir)]
+    return pairs(synth_audio_dataset(n, 42), DedupConfig())
+
+
+def audio_decode_stats(sf_dir: str):
+    """Per-track decode/feature stats from the audio actor stage —
+    decode_ok rate, duration, rms (rows-only; deterministic)."""
+    from ..sources.audiosynth import synth_audio_dataset
+    from ..stages.multimodal import audio_features
+    n = _AUDIO_ROWS[_sf_of(sf_dir)]
+    out = audio_features(synth_audio_dataset(n, 42), DedupConfig())
+    return out.drop_columns(["features"]).sort("audio_id")
+
+
 def image_dedup_clusters(sf_dir: str):
     """Flagship pipeline on the deterministic synthetic image+caption table
     sized by sf (cached parquet under /tmp)."""
@@ -762,4 +787,6 @@ EXTRAS = {
     "emb_neardup_exact": emb_neardup_exact,
     "image_dedup_clusters": image_dedup_clusters,
     "image_dedup_counters": image_dedup_counters,
+    "audio_dedup_pairs": audio_dedup_pairs,
+    "audio_decode_stats": audio_decode_stats,
 }

@@ -52,9 +52,11 @@ def test_embed_images(img_ds):
 def test_stubs_raise_clearly():
     import pyarrow as pa
     cfg = DedupConfig()
-    with pytest.raises(NotImplementedError):
-        M.AudioFeatures(cfg)(pa.table({"audio_id": ["a"],
-                                       "bytes": [b"x"]}))
+    # audio is REAL since round 3 (pure-numpy WAV codec); a garbage
+    # payload decodes to decode_ok=False instead of raising
+    out = M.AudioFeatures(cfg)(pa.table({"audio_id": ["a"],
+                                         "bytes": [b"x"]}))
+    assert out["decode_ok"].to_pylist() == [False]
     with pytest.raises(NotImplementedError):
         M.VideoFrameSample(cfg)(pa.table({"video_id": ["v"],
                                           "bytes": [b"x"]}))
