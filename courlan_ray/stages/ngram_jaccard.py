@@ -57,7 +57,9 @@ def _gram_sets(texts: list[str], n: int, seed: int
                ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct word-n-gram chain hashes per text, each segment sorted
     ascending.  Returns (flat:uint64, counts:int64).  Tokenization matches
-    functions.textstats._TOKEN_RE so the DuckDB oracle can mirror it."""
+    functions.textstats._TOKEN_RE (unicode letters, ``[^\\W\\d_]``); the
+    DuckDB oracle mirrors it with the same RE2 class, so the twin holds
+    beyond ASCII (ADVICE round 2)."""
     from ..functions.textstats import _explode_tokens
 
     flat_tok, doc = _explode_tokens(pd.Series(texts))
