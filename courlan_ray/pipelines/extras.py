@@ -43,6 +43,13 @@ def _read(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _nrows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER only (metadata read, no scan) —
+    the declared-size input for the window/asof driver short-circuits."""
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+
+
 def doc_minhash_clusters(sf_dir: str):
     """Full text near-dup pipeline over documents."""
     from .text_dedup import text_dedup_pipeline
@@ -331,7 +338,8 @@ def events_rolling_1h(sf_dir: str):
     # events ts is timestamp[us] -> width in microseconds
     out = rolling_window_agg(ds, on="ts", by="user_id", value_col="value",
                              width_ns=3_600_000_000,
-                             keep_cols=["event_id"])
+                             keep_cols=["event_id"],
+                             approx_rows=_nrows(sf_dir, "events"))
     return out.sort("event_id")
 
 
@@ -343,7 +351,8 @@ def events_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     out = sessionize(ds, on="ts", by="user_id",
                      gap_ns=1_800_000_000,        # ts is timestamp[us]
-                     keep_cols=["event_id"])
+                     keep_cols=["event_id"],
+                     approx_rows=_nrows(sf_dir, "events"))
     return out.sort("event_id")
 
 
@@ -366,7 +375,8 @@ def events_asof_prev_click(sf_dir: str):
     out = asof_join(ev, clicks, on="ts", by="user_id",
                     left_cols=["event_id"],
                     right_cols=["prev_click_ts", "prev_click_value"],
-                    strict=True, right_suffix="")
+                    strict=True, right_suffix="",
+                    approx_rows=2 * _nrows(sf_dir, "events"))
     return out.sort("event_id")
 
 

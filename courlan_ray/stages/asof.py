@@ -93,7 +93,9 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
               strict: bool = True, right_suffix: str = "_r",
               tolerance_ns: int | None = None,
               num_partitions: int = 64,
-              chunk_ns: int | None = None):
+              chunk_ns: int | None = None,
+              approx_rows: int | None = None,
+              driver_max: int = 1_000_000):
     """Left as-of join.  Returns a Dataset with ``left_cols`` plus each of
     ``right_cols`` as ``<name><right_suffix>`` (null when the key has no
     right row at-or-before / strictly-before ``on``).
@@ -113,7 +115,14 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
     match them); results are exact.  Requires ``tolerance_ns`` (an
     unbounded lookback cannot chunk — any right row could match) and
     ``chunk_ns >= tolerance_ns`` (a lookback spans at most one chunk
-    boundary)."""
+    boundary).
+
+    ``approx_rows``: DECLARED combined input size (the declared-
+    cardinality contract of stages/agg.py — never measured by executing
+    the inputs).  When declared and <= ``driver_max``, the keyed shuffle
+    is skipped and the same kernel runs once driver-side (the AllToAll
+    launch dwarfs the vectorized kernel at small row counts); undeclared
+    or large inputs stream through the shuffle unchanged."""
     from .joins import keyed_repartition, keyed_shuffle_partitions
 
     if chunk_ns is not None:
@@ -243,6 +252,10 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
                         pa.array(got), col, pa.nulls(n_l, r_types[c]))
         return pa.table(out_cols)
 
+    if approx_rows is not None and approx_rows <= driver_max:
+        import ray.data as rd
+        from .joins import _collect
+        return rd.from_arrow(kernel(_collect(env)))
     parts = keyed_shuffle_partitions(num_partitions)
     shuffle_keys = [by, "__chunk"] if chunked else [by]
     return (keyed_repartition(env, parts, shuffle_keys)

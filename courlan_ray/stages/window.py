@@ -83,14 +83,24 @@ def _window_bounds(tss: np.ndarray, starts: np.ndarray, ends: np.ndarray,
 def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
                        width_ns: int, keep_cols: list[str] | None = None,
                        num_partitions: int = 64,
-                       chunk_ns: int | None = None):
+                       chunk_ns: int | None = None,
+                       approx_rows: int | None = None,
+                       driver_max: int = 1_000_000):
     """Per row: count and sum of the same key's rows with
     ``t in [row.t - width, row.t]`` (inclusive both ends, matching SQL
     RANGE BETWEEN ... PRECEDING AND CURRENT ROW).  Emits ``keep_cols`` +
     ``by`` + ``on`` + ``n_window`` + ``sum_window``.
 
     ``chunk_ns``: optional hot-key time-splitting (see module docstring);
-    must be >= ``width_ns``."""
+    must be >= ``width_ns``.
+
+    ``approx_rows``: DECLARED input size (the declared-cardinality
+    contract of stages/agg.py — never measured by executing the input).
+    When declared and <= ``driver_max``, the keyed shuffle is skipped and
+    the same kernel runs once driver-side: at small row counts the
+    AllToAll launch (~1-3 s) dwarfs the vectorized kernel (~10 ms for
+    100k rows).  Undeclared or large inputs stream through the shuffle
+    unchanged."""
     from .joins import keyed_repartition, keyed_shuffle_partitions, safe_combine
 
     if chunk_ns is not None and chunk_ns < width_ns:
@@ -160,23 +170,28 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
         cols["sum_window"] = pa.array(_round6(sm[emit]), pa.float64())
         return pa.table(cols)
 
+    pre = ds.map_batches(explode, batch_format="pyarrow") if chunked else ds
+    if approx_rows is not None and approx_rows <= driver_max:
+        import ray.data as rd
+        from .joins import _collect
+        return rd.from_arrow(kernel(_collect(pre)))
     parts = keyed_shuffle_partitions(num_partitions)
-    if chunked:
-        env = ds.map_batches(explode, batch_format="pyarrow")
-        env = keyed_repartition(env, parts, [by, "__chunk"])
-    else:
-        env = keyed_repartition(ds, parts, [by])
+    env = keyed_repartition(pre, parts,
+                            [by, "__chunk"] if chunked else [by])
     return env.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
 
 def sessionize(ds, *, on: str, by: str, gap_ns: int,
                keep_cols: list[str] | None = None,
-               num_partitions: int = 64):
+               num_partitions: int = 64,
+               approx_rows: int | None = None,
+               driver_max: int = 1_000_000):
     """Gap-based sessionization: per key (ordered by t), a new session
     starts when the gap to the previous row exceeds ``gap_ns``.  Emits
     ``keep_cols`` + ``by`` + ``on`` + ``session_num`` (1-based per key)
     + ``session_id`` (key-qualified string).  Same single-keyed-shuffle
-    shape and partitioning assumption as ``rolling_window_agg``."""
+    shape, partitioning assumption, and declared-size driver
+    short-circuit (``approx_rows``) as ``rolling_window_agg``."""
     from .joins import keyed_repartition, keyed_shuffle_partitions, safe_combine
 
     keep = keep_cols or []
@@ -216,6 +231,10 @@ def sessionize(ds, *, on: str, by: str, gap_ns: int,
             pa.string())
         return pa.table(cols)
 
+    if approx_rows is not None and approx_rows <= driver_max:
+        import ray.data as rd
+        from .joins import _collect
+        return rd.from_arrow(kernel(_collect(ds)))
     parts = keyed_shuffle_partitions(num_partitions)
     return (keyed_repartition(ds, parts, [by])
               .map_batches(kernel, batch_format="pyarrow", batch_size=None))
