@@ -61,24 +61,24 @@ def doc_gates(sf_dir: str):
         return pa.table({"reject_reason": pa.array(reason, pa.string()),
                          "n": pa.array(np.ones(n, dtype=np.int64))})
 
-    from ray.data.aggregate import Sum
-    return (ds.map_batches(gates, batch_format="pyarrow")
-              .groupby("reject_reason").aggregate(Sum("n", alias_name="n")))
+    from ..stages.agg import grouped_agg
+    return grouped_agg(ds.map_batches(gates, batch_format="pyarrow"),
+                       ["reject_reason"], [("n", "sum", "n")])
 
 
 def doc_exact_dedup(sf_dir: str):
     """Variant-invariant dedup on a coarse key (first 40 normalized chars);
     keeper = min doc_id (order-free first-wins)."""
-    from ray.data.aggregate import Min, Count
+    from ..stages.agg import grouped_agg
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def key(b: pa.Table) -> pa.Table:
         k = pc.utf8_slice_codeunits(_norm_expr(b["text"]), 0, 40)
         return pa.table({"k": k, "doc_id": b["doc_id"]})
 
-    return (ds.map_batches(key, batch_format="pyarrow")
-              .groupby("k").aggregate(Min("doc_id", alias_name="keeper_id"),
-                                      Count(alias_name="n_rows")))
+    return grouped_agg(ds.map_batches(key, batch_format="pyarrow"),
+                       ["k"], [("doc_id", "min", "keeper_id"),
+                               ("doc_id", "count", "n_rows")])
 
 
 def doc_group_sample(sf_dir: str):
@@ -101,15 +101,14 @@ def doc_group_sample(sf_dir: str):
 def doc_distinct_sorted(sf_dir: str):
     """Distinct (lang, source) sorted — the filter_urls sorted-set output
     (/root/reference/courlan/urlutils.py:123-134)."""
-    from ray.data.aggregate import Count
+    from ..stages.agg import grouped_agg
     ds = _read(sf_dir, "documents", ["lang", "source"])
-    return (ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
-              .sort(["lang", "source"]))
+    return grouped_agg(ds, ["lang", "source"],
+                       [("lang", "count", "n")]).sort(["lang", "source"])
 
 
 def doc_token_stats(sf_dir: str):
     """Token counting per language (whitespace tokens)."""
-    from ray.data.aggregate import Sum, Count
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def toks(b: pa.Table) -> pa.Table:
@@ -117,41 +116,41 @@ def doc_token_stats(sf_dir: str):
         return pa.table({"lang": b["lang"],
                          "n_tokens": pc.cast(t, pa.int64())})
 
-    agg = (ds.map_batches(toks, batch_format="pyarrow")
-             .groupby("lang").aggregate(Count(alias_name="n_docs"),
-                                        Sum("n_tokens", alias_name="total_tokens")))
-    return agg
+    from ..stages.agg import grouped_agg
+    return grouped_agg(ds.map_batches(toks, batch_format="pyarrow"),
+                       ["lang"], [("lang", "count", "n_docs"),
+                                  ("n_tokens", "sum", "total_tokens")])
 
 
 # ------------------------------------------------------------------- events
 
 def events_counters(sf_dir: str):
     """Grouped counters (get_all_counts / total_url_number analogue)."""
-    from ray.data.aggregate import Count, Sum
+    from ..stages.agg import grouped_agg
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def rounder(b: pa.Table) -> pa.Table:
         return b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
                             pc.round(b["sum_value"], 2))
 
-    return (ds.groupby("event_type")
-              .aggregate(Count(alias_name="n"),
-                         Sum("value", alias_name="sum_value"))
-              .map_batches(rounder, batch_format="pyarrow"))
+    return grouped_agg(ds, ["event_type"],
+                       [("event_type", "count", "n"),
+                        ("value", "sum", "sum_value")]) \
+        .map_batches(rounder, batch_format="pyarrow")
 
 
 def events_first_per_user(sf_dir: str):
     """Per-group ordered head: the UrlStore get_url draw
     (/root/reference/courlan/urlstore.py:409-430) as a dataflow —
     first event per user by (ts, event_id)."""
-    from ray.data.aggregate import Min
+    from ..stages.agg import grouped_agg
     from ..stages.joins import attach_by_key
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    first_ts = ds.groupby("user_id").aggregate(Min("ts", alias_name="min_ts"))
+    first_ts = grouped_agg(ds, ["user_id"], [("ts", "min", "min_ts")])
     at_min = attach_by_key(ds, first_ts, ["user_id"]).map_batches(
         lambda b: b.filter(pc.equal(b["ts"], b["min_ts"])),
         batch_format="pyarrow")
-    out = at_min.groupby("user_id").aggregate(Min("event_id", alias_name="event_id"))
+    out = grouped_agg(at_min, ["user_id"], [("event_id", "min", "event_id")])
     withts = attach_by_key(out, first_ts, ["user_id"])
     return withts.map_batches(
         lambda b: pa.table({"user_id": b["user_id"], "event_id": b["event_id"],
@@ -174,7 +173,6 @@ def events_schedule(sf_dir: str):
 
 def events_window(sf_dir: str):
     """Tumbling 1-day window per event_type (streaming-shaped aggregate)."""
-    from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def day(b: pa.Table) -> pa.Table:
@@ -186,18 +184,18 @@ def events_window(sf_dir: str):
         return b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
                             pc.round(b["sum_value"], 2))
 
-    return (ds.map_batches(day, batch_format="pyarrow")
-              .groupby(["event_type", "day"])
-              .aggregate(Count(alias_name="n"),
-                         Sum("value", alias_name="sum_value"))
-              .map_batches(rounder, batch_format="pyarrow"))
+    from ..stages.agg import grouped_agg
+    return grouped_agg(ds.map_batches(day, batch_format="pyarrow"),
+                       ["event_type", "day"],
+                       [("event_type", "count", "n"),
+                        ("value", "sum", "sum_value")]) \
+        .map_batches(rounder, batch_format="pyarrow")
 
 
 # ------------------------------------------------- lineitem / orders joins
 
 def q1_lineitem(sf_dir: str):
     """TPC-H Q1-shaped vectorized aggregate (pruned read, map-side compute)."""
-    from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
@@ -215,22 +213,23 @@ def q1_lineitem(sf_dir: str):
         return b.set_column(b.schema.get_field_index("sum_rev"), "sum_rev",
                             pc.round(b["sum_rev"], 2))
 
-    return (ds.map_batches(revenue, batch_format="pyarrow")
-              .groupby(["l_returnflag", "l_linestatus"])
-              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                         Sum("revenue", alias_name="sum_rev"),
-                         Count(alias_name="n"))
-              .map_batches(rounder, batch_format="pyarrow"))
+    from ..stages.agg import grouped_agg
+    return grouped_agg(ds.map_batches(revenue, batch_format="pyarrow"),
+                       ["l_returnflag", "l_linestatus"],
+                       [("l_quantity", "sum", "sum_qty"),
+                        ("revenue", "sum", "sum_rev"),
+                        ("l_returnflag", "count", "n")]) \
+        .map_batches(rounder, batch_format="pyarrow")
 
 
 def orders_top_customers(sf_dir: str):
     """Broadcast dimension join + grouped sum + deterministic top-10."""
-    from ray.data.aggregate import Sum
+    from ..stages.agg import grouped_agg
     from ..stages.joins import attach_by_key
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    tot = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total"))
+    tot = grouped_agg(orders, ["o_custkey"],
+                      [("o_totalprice", "sum", "total")])
     named = attach_by_key(
         tot.map_batches(lambda b: pa.table(
             {"c_custkey": b["o_custkey"], "total": pc.round(b["total"], 2)}),
@@ -303,7 +302,7 @@ def emb_knn(sf_dir: str):
 
 def emb_label_stats(sf_dir: str):
     """Per-label count + mean squared norm (vector aggregate)."""
-    from ray.data.aggregate import Count, Sum
+    from ..stages.agg import grouped_agg
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
     def sq(b: pa.Table) -> pa.Table:
@@ -317,10 +316,10 @@ def emb_label_stats(sf_dir: str):
         avg = pc.round(pc.divide(b["sum_sq"], pc.cast(b["n"], pa.float64())), 4)
         return pa.table({"label": b["label"], "n": b["n"], "avg_sq_norm": avg})
 
-    return (ds.map_batches(sq, batch_format="pyarrow")
-              .groupby("label").aggregate(Count(alias_name="n"),
-                                          Sum("sq", alias_name="sum_sq"))
-              .map_batches(finish, batch_format="pyarrow"))
+    return grouped_agg(ds.map_batches(sq, batch_format="pyarrow"),
+                        ["label"], [("label", "count", "n"),
+                                    ("sq", "sum", "sum_sq")]) \
+        .map_batches(finish, batch_format="pyarrow")
 
 
 ORACLES: dict[str, str] = {
