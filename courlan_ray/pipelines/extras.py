@@ -489,6 +489,32 @@ def audio_decode_stats(sf_dir: str):
     return out.drop_columns(["features"]).sort("audio_id")
 
 
+_VIDEO_ROWS = {"0.001": 150, "0.01": 400, "0.1": 1200}
+
+
+def video_dedup_pairs(sf_dir: str):
+    """Video near-dup pairs over the deterministic synthetic FVID table
+    (sources/videosynth.py): frame-sampled phash majority fingerprint in
+    an actor pool, pigeonhole Hamming-ball candidates, slot-wise frame
+    verification.  Rows-only driver check; planted recall/precision
+    pinned in tests/test_video.py."""
+    from ..sources.videosynth import synth_video_dataset
+    from ..stages.multimodal import video_dedup_pairs as pairs
+    n = _VIDEO_ROWS[_sf_of(sf_dir)]
+    return pairs(synth_video_dataset(n, 42), DedupConfig())
+
+
+def video_frame_stats(sf_dir: str):
+    """Per-sampled-frame decode stats from the frame-sample actor stage
+    (one row per video x frame; rows-only, deterministic)."""
+    from ..sources.videosynth import synth_video_dataset
+    from ..stages.multimodal import sample_video_frames
+    n = _VIDEO_ROWS[_sf_of(sf_dir)]
+    out = sample_video_frames(synth_video_dataset(n, 42), DedupConfig(),
+                              n_frames=3)
+    return out.sort(["video_id", "frame_idx"])
+
+
 def image_dedup_clusters(sf_dir: str):
     """Flagship pipeline on the deterministic synthetic image+caption table
     sized by sf (cached parquet under /tmp)."""
@@ -799,4 +825,6 @@ EXTRAS = {
     "image_dedup_counters": image_dedup_counters,
     "audio_dedup_pairs": audio_dedup_pairs,
     "audio_decode_stats": audio_decode_stats,
+    "video_dedup_pairs": video_dedup_pairs,
+    "video_frame_stats": video_frame_stats,
 }

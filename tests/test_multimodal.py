@@ -49,14 +49,17 @@ def test_embed_images(img_ds):
     assert np.allclose(vecs[srt], vecs2[srt2])
 
 
-def test_stubs_raise_clearly():
+def test_garbage_payloads_flagged_not_raised():
     import pyarrow as pa
     cfg = DedupConfig()
-    # audio is REAL since round 3 (pure-numpy WAV codec); a garbage
-    # payload decodes to decode_ok=False instead of raising
+    # audio and video are REAL since round 3 (pure-numpy WAV + FVID
+    # codecs); garbage payloads decode to decode_ok=False, never raise
     out = M.AudioFeatures(cfg)(pa.table({"audio_id": ["a"],
                                          "bytes": [b"x"]}))
     assert out["decode_ok"].to_pylist() == [False]
-    with pytest.raises(NotImplementedError):
-        M.VideoFrameSample(cfg)(pa.table({"video_id": ["v"],
+    out = M.VideoFrameSample(cfg)(pa.table({"video_id": ["v"],
+                                            "bytes": [b"x"]}))
+    assert out["decode_ok"].to_pylist() == [False]
+    out = M.VideoSignature(cfg)(pa.table({"video_id": ["v"],
                                           "bytes": [b"x"]}))
+    assert out["decode_ok"].to_pylist() == [False]
