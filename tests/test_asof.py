@@ -270,3 +270,50 @@ def test_driver_shortcircuit_parity():
     pd.testing.assert_frame_equal(
         a.sort_values("eid").reset_index(drop=True),
         b.sort_values("eid").reset_index(drop=True))
+
+
+def test_segmented_kernels_match_bruteforce_random():
+    """_window_bounds and _group_searchsorted equal per-group brute force
+    on random group layouts, including HUGE time spans that force the
+    int64-overflow chunked path (multiple composite-coordinate chunks)."""
+    from courlan_ray.stages.asof import _group_searchsorted
+    from courlan_ray.stages.window import _window_bounds
+
+    rng = np.random.default_rng(31)
+    for trial, huge in [(0, False), (1, False), (2, True), (3, True)]:
+        n_groups = int(rng.integers(3, 40))
+        sizes = rng.integers(1, 30, n_groups)
+        starts = np.zeros(n_groups, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        ends = starts + sizes
+        n = int(sizes.sum())
+        if huge:
+            # spans ~2^60 per group: a handful of groups exceed the 2^62
+            # chunk budget, so the loop must split into several chunks
+            base_t = rng.integers(0, 1 << 60, n).astype(np.int64)
+        else:
+            base_t = rng.integers(0, 10_000, n).astype(np.int64)
+        ts = np.concatenate([np.sort(base_t[s:e]) for s, e in
+                             zip(starts, ends)])
+        width = int(rng.integers(1, 1 << 59 if huge else 500))
+
+        lo, hi = _window_bounds(ts, starts, ends, width)
+        for g, (s, e) in enumerate(zip(starts, ends)):
+            tg = ts[s:e]
+            np.testing.assert_array_equal(
+                lo[s:e], s + np.searchsorted(tg, tg - width, side="left"),
+                err_msg=f"trial {trial} group {g} lo")
+            np.testing.assert_array_equal(
+                hi[s:e], s + np.searchsorted(tg, tg, side="right"),
+                err_msg=f"trial {trial} group {g} hi")
+
+        nq = 300
+        gq = rng.integers(0, n_groups, nq).astype(np.int64)
+        tq = (rng.integers(0, 1 << 62, nq) if huge else
+              rng.integers(-500, 10_500, nq)).astype(np.int64)
+        for side in ("left", "right"):
+            pos = _group_searchsorted(ts, starts, ends, gq, tq, side)
+            for i in range(nq):
+                s, e = starts[gq[i]], ends[gq[i]]
+                want = s + np.searchsorted(ts[s:e], tq[i], side=side)
+                assert pos[i] == want, (trial, side, i)
