@@ -467,29 +467,52 @@ def _image_pipeline(sf_dir: str) -> dict:
 _AUDIO_ROWS = {"0.001": 300, "0.01": 900, "0.1": 3000}
 
 
+def _audio_ds(sf_dir: str):
+    """Cached synthetic WAV table for this sf (parquet under /tmp)."""
+    import ray.data as rd
+    from ..sources.audiosynth import synth_audio_parquet
+    return rd.read_parquet(synth_audio_parquet(_AUDIO_ROWS[_sf_of(sf_dir)],
+                                               42))
+
+
 def audio_dedup_pairs(sf_dir: str):
     """Audio near-dup pairs over the deterministic synthetic WAV table
     (sources/audiosynth.py): WAV decode + 64-bit spectral fingerprint in
-    an actor pool, exact pigeonhole Hamming-ball pairing (<= 3 bits).
+    an actor pool, Hamming-ball candidates + profile-L2 verify.
     Rows-only driver check (spectral hashing is not SQL-expressible);
     planted-truth recall/precision pinned in tests/test_audio.py."""
-    from ..sources.audiosynth import synth_audio_dataset
     from ..stages.multimodal import audio_dedup_pairs as pairs
-    n = _AUDIO_ROWS[_sf_of(sf_dir)]
-    return pairs(synth_audio_dataset(n, 42), DedupConfig())
+    return pairs(_audio_ds(sf_dir), DedupConfig())
 
 
 def audio_decode_stats(sf_dir: str):
     """Per-track decode/feature stats from the audio actor stage —
     decode_ok rate, duration, rms (rows-only; deterministic)."""
-    from ..sources.audiosynth import synth_audio_dataset
     from ..stages.multimodal import audio_features
-    n = _AUDIO_ROWS[_sf_of(sf_dir)]
-    out = audio_features(synth_audio_dataset(n, 42), DedupConfig())
+    out = audio_features(_audio_ds(sf_dir), DedupConfig())
     return out.drop_columns(["features"]).sort("audio_id")
 
 
+def audio_durations(sf_dir: str):
+    """(audio_id, decode_ok, duration_sec) from the REAL WAV decode in the
+    actor pool; the DuckDB oracle recomputes both via independent RIFF
+    header arithmetic over the same parquet (magic bytes + octet_length)
+    — a value-verified check on the audio channel's decode gating."""
+    from ..stages.multimodal import audio_features
+    out = audio_features(_audio_ds(sf_dir), DedupConfig())
+    return (out.select_columns(["audio_id", "decode_ok", "duration_sec"])
+               .sort("audio_id"))
+
+
 _VIDEO_ROWS = {"0.001": 150, "0.01": 400, "0.1": 1200}
+
+
+def _video_ds(sf_dir: str):
+    """Cached synthetic FVID table for this sf (parquet under /tmp)."""
+    import ray.data as rd
+    from ..sources.videosynth import synth_video_parquet
+    return rd.read_parquet(synth_video_parquet(_VIDEO_ROWS[_sf_of(sf_dir)],
+                                               42))
 
 
 def video_dedup_pairs(sf_dir: str):
@@ -498,21 +521,38 @@ def video_dedup_pairs(sf_dir: str):
     an actor pool, pigeonhole Hamming-ball candidates, slot-wise frame
     verification.  Rows-only driver check; planted recall/precision
     pinned in tests/test_video.py."""
-    from ..sources.videosynth import synth_video_dataset
     from ..stages.multimodal import video_dedup_pairs as pairs
-    n = _VIDEO_ROWS[_sf_of(sf_dir)]
-    return pairs(synth_video_dataset(n, 42), DedupConfig())
+    return pairs(_video_ds(sf_dir), DedupConfig())
 
 
 def video_frame_stats(sf_dir: str):
     """Per-sampled-frame decode stats from the frame-sample actor stage
     (one row per video x frame; rows-only, deterministic)."""
-    from ..sources.videosynth import synth_video_dataset
     from ..stages.multimodal import sample_video_frames
-    n = _VIDEO_ROWS[_sf_of(sf_dir)]
-    out = sample_video_frames(synth_video_dataset(n, 42), DedupConfig(),
-                              n_frames=3)
+    out = sample_video_frames(_video_ds(sf_dir), DedupConfig(), n_frames=3)
     return out.sort(["video_id", "frame_idx"])
+
+
+def video_frame_index(sf_dir: str):
+    """(video_id, frame_idx, decode_ok, w, h) from the REAL frame-sample
+    actor (container parse + per-frame decode); the DuckDB oracle
+    recomputes the sampling layout and decode gating via independent
+    header arithmetic (fmt + octet_length + the evenly-spaced index
+    formula) over the same parquet."""
+    import pyarrow.compute as pc
+    from ..stages.multimodal import sample_video_frames
+    out = sample_video_frames(_video_ds(sf_dir), DedupConfig(), n_frames=3)
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "video_id": b["video_id"],
+            "frame_idx": pc.cast(b["frame_idx"], pa.int64()),
+            "decode_ok": b["decode_ok"],
+            "w": pc.cast(b["w"], pa.int64()),
+            "h": pc.cast(b["h"], pa.int64())})
+
+    return (out.map_batches(widen, batch_format="pyarrow")
+               .sort(["video_id", "frame_idx"]))
 
 
 def image_dedup_clusters(sf_dir: str):
@@ -537,8 +577,12 @@ def synth_parquet_path(sf_dir: str) -> str:
 def ensure_oracle_inputs() -> None:
     """Materialize side inputs the oracle SQL strings reference by path.
     Called by __ray_entry__.oracle_sql() so the driver's DuckDB run finds
-    the synthetic flagship table regardless of query/oracle run order."""
+    the synthetic tables regardless of query/oracle run order."""
+    from ..sources.audiosynth import synth_audio_parquet
+    from ..sources.videosynth import synth_video_parquet
     synth_parquet_path("sf0.01")   # the driver compares at sf=0.01
+    synth_audio_parquet(_AUDIO_ROWS["0.01"], 42)
+    synth_video_parquet(_VIDEO_ROWS["0.01"], 42)
 
 
 def _image_counters_sql(parquet_glob: str) -> str:
@@ -616,8 +660,55 @@ def _build_extra_oracles() -> dict[str, str]:
     # runs); the same builder is tested at other n in tests/test_oracles.py
     synth_001 = f"/tmp/courlan_ray_synth/n{_SF_ROWS['0.01']}-s42/*.parquet"
 
+    audio_001 = (f"/tmp/courlan_ray_synth_audio/"
+                 f"n{_AUDIO_ROWS['0.01']}-s42/*.parquet")
+    video_001 = (f"/tmp/courlan_ray_synth_video/"
+                 f"n{_VIDEO_ROWS['0.01']}-s42/*.parquet")
+
     return {
         "image_dedup_counters": _image_counters_sql(synth_001),
+        # REAL WAV decode (Ray side) vs independent RIFF header arithmetic
+        # (SQL side): RIFF magic = hex 52494646 at bytes 1-4, WAVE at 9-12;
+        # duration = data bytes / 2 (16-bit) / rate; payload = 44-byte
+        # canonical header + data (sources/audiosynth writes exactly that)
+        "audio_durations": f"""
+        SELECT audio_id,
+               (fmt = 'wav' AND octet_length(bytes) >= 46
+                AND hex(bytes)[1:8] = '52494646'
+                AND hex(bytes)[17:24] = '57415645') AS decode_ok,
+               CASE WHEN fmt = 'wav' AND octet_length(bytes) >= 46
+                         AND hex(bytes)[1:8] = '52494646'
+                         AND hex(bytes)[17:24] = '57415645'
+                    THEN (octet_length(bytes) - 44) / 2.0 / rate
+                    ELSE 0.0 END AS duration_sec
+        FROM read_parquet('{audio_001}')
+        ORDER BY audio_id""",
+        # REAL FVID parse + frame decode (Ray side) vs header arithmetic
+        # (SQL side): decodable = fmt fvid with a complete header
+        # (10 + 4*n_frames bytes); sampled indices = the evenly-spaced
+        # formula unique((i * n_frames) // k), k=3
+        "video_frame_index": f"""
+        WITH v AS (
+          SELECT video_id, n_frames, w, h,
+                 (fmt = 'fvid'
+                  AND octet_length(bytes) >= 10 + 4 * n_frames) AS good
+          FROM read_parquet('{video_001}')),
+        good_rows AS (
+          SELECT video_id,
+                 unnest(list_distinct(list_transform(
+                     generate_series(0, 2),
+                     i -> CAST((i * n_frames) // 3 AS BIGINT))))
+                   AS frame_idx,
+                 TRUE AS decode_ok,
+                 CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+          FROM v WHERE good),
+        bad_rows AS (
+          SELECT video_id, CAST(-1 AS BIGINT) AS frame_idx,
+                 FALSE AS decode_ok, CAST(0 AS BIGINT) AS w,
+                 CAST(0 AS BIGINT) AS h
+          FROM v WHERE NOT good)
+        SELECT * FROM good_rows UNION ALL SELECT * FROM bad_rows
+        ORDER BY video_id, frame_idx""",
         # BPE-ish token counts: RE2-safe pretokenizer (see BPEISH_RE2)
         "doc_token_counts_bpe": r"""
         SELECT doc_id,
@@ -825,6 +916,8 @@ EXTRAS = {
     "image_dedup_counters": image_dedup_counters,
     "audio_dedup_pairs": audio_dedup_pairs,
     "audio_decode_stats": audio_decode_stats,
+    "audio_durations": audio_durations,
     "video_dedup_pairs": video_dedup_pairs,
     "video_frame_stats": video_frame_stats,
+    "video_frame_index": video_frame_index,
 }

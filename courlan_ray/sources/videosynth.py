@@ -122,3 +122,22 @@ def video_truth_pairs(n: int, seed: int = 42) -> pa.Table:
         "right_id": pa.array(ids[dup], pa.string()),
         "kind": pa.array([VKIND_NAMES[k] for k in kind[dup]], pa.string()),
     })
+
+
+def synth_video_parquet(n: int, seed: int = 42,
+                        root: str = "/tmp/courlan_ray_synth_video") -> str:
+    """Generate (once) and cache the synthetic video table as parquet —
+    queries re-read cheap parquet instead of re-synthesizing frames, and
+    the DuckDB oracle SQL can scan the same files by path."""
+    import os
+
+    out = os.path.join(root, f"n{n}-s{seed}")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        synth_video_dataset(n, seed).write_parquet(
+            out, min_rows_per_file=64, max_rows_per_file=64)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
