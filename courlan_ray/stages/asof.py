@@ -255,7 +255,9 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
     if approx_rows is not None and approx_rows <= driver_max:
         import ray.data as rd
         from .joins import _collect
-        return rd.from_arrow(kernel(_collect(env)))
+        tbl = _collect(env)
+        if tbl.num_columns:       # schema-less empty: fall through to the
+            return rd.from_arrow(kernel(tbl))  # shuffle path's empty blocks
     parts = keyed_shuffle_partitions(num_partitions)
     shuffle_keys = [by, "__chunk"] if chunked else [by]
     return (keyed_repartition(env, parts, shuffle_keys)

@@ -174,7 +174,9 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
     if approx_rows is not None and approx_rows <= driver_max:
         import ray.data as rd
         from .joins import _collect
-        return rd.from_arrow(kernel(_collect(pre)))
+        tbl = _collect(pre)
+        if tbl.num_columns:       # schema-less empty -> shuffle path
+            return rd.from_arrow(kernel(tbl))
     parts = keyed_shuffle_partitions(num_partitions)
     env = keyed_repartition(pre, parts,
                             [by, "__chunk"] if chunked else [by])
@@ -234,7 +236,9 @@ def sessionize(ds, *, on: str, by: str, gap_ns: int,
     if approx_rows is not None and approx_rows <= driver_max:
         import ray.data as rd
         from .joins import _collect
-        return rd.from_arrow(kernel(_collect(ds)))
+        tbl = _collect(ds)
+        if tbl.num_columns:       # schema-less empty -> shuffle path
+            return rd.from_arrow(kernel(tbl))
     parts = keyed_shuffle_partitions(num_partitions)
     return (keyed_repartition(ds, parts, [by])
               .map_batches(kernel, batch_format="pyarrow", batch_size=None))
