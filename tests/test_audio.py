@@ -93,3 +93,38 @@ def test_audio_dedup_planted_recall(ray_session):
            for i, c in zip(plan["idx"], plan["content_id"])}
     for l, r in got:
         assert cid[l] == cid[r], f"false pair {l} {r}"
+
+
+def test_wav_roundtrip_property():
+    """Property: decode(encode(x)) == x within half a quantization step
+    for random lengths, channel counts, and rates (hypothesis-style sweep
+    with a fixed seed grid)."""
+    rng = np.random.default_rng(77)
+    for _ in range(25):
+        n = int(rng.integers(1, 5000))
+        ch = int(rng.integers(1, 4))
+        rate = int(rng.integers(1000, 96_000))
+        x = rng.uniform(-1, 1, (n, ch))
+        y, r = ac.decode_wav(ac.encode_wav(x, rate))
+        assert r == rate and y.shape == (n, ch)
+        assert np.abs(y - x).max() <= 0.5 / 32767 + 1e-12
+
+
+def test_wav_decode_float_and_8bit():
+    """decode_wav accepts IEEE-float and 8-bit PCM WAVs (hand-built)."""
+    import struct
+    x = np.linspace(-1, 1, 100)
+    # float32 WAV
+    data = x.astype("<f4").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    y, r = ac.decode_wav(hdr)
+    assert r == 8000 and np.allclose(y[:, 0], x, atol=1e-6)
+    # 8-bit unsigned PCM WAV
+    pcm8 = np.clip(np.round(x * 128 + 128), 0, 255).astype(np.uint8).tobytes()
+    hdr8 = (b"RIFF" + struct.pack("<I", 36 + len(pcm8)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", len(pcm8)) + pcm8)
+    y8, r8 = ac.decode_wav(hdr8)
+    assert r8 == 8000 and np.abs(y8[:, 0] - x).max() <= 1.0 / 128 + 1e-12
