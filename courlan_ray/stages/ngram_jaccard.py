@@ -136,8 +136,16 @@ def _verify_pairs(left: np.ndarray, right: np.ndarray,
                   grams_l: list[np.ndarray], grams_r: list[np.ndarray],
                   threshold: float) -> pa.Table:
     """Exact Jaccard over sorted-unique gram arrays; keep >= threshold.
-    The unrounded value gates (like the SQL twin); output is rounded
-    half-up to 4 decimals."""
+    Per pair: the SMALLER array binary-searches into the larger —
+    sum(min_size * log(max_size)) work, which beats a fully-vectorized
+    both-sides-flattened composite-key search here (that materializes
+    sum(size_l + size_r) elements and searches at log of the TOTAL;
+    measured 2.5x slower at 431k candidate pairs x ~290 grams).  The
+    per-pair Python overhead parallelizes away: large candidate sets are
+    verified in ``map_batches`` (the scale path and the driver path's
+    distributed-verify branch), never in one driver loop.  The unrounded
+    value gates (like the SQL twin); output rounded half-up to 4
+    decimals."""
     n = len(left)
     jac = np.empty(n, dtype=np.float64)
     for i in range(n):
@@ -222,6 +230,16 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
         # scale path's pair kernel orders by value already)
         sw = ids[li] > ids[ri]
         li, ri = np.where(sw, ri, li), np.where(sw, li, ri)
+        if li.size > 20_000:
+            # candidate-heavy corpora (templated text admits ~100 prefix
+            # collisions per doc at t=0.5): fan the verification out
+            # across the cluster through the scale path's pair join +
+            # kernel instead of one driver loop
+            pairs_ds = rd.from_arrow(pa.table({
+                "left_id": pa.array(ids[li]),
+                "right_id": pa.array(ids[ri])})).repartition(
+                    max(2, min(64, li.size // 8192)))
+            return _distributed_verify(pairs_ds, sig, id_col, threshold)
         out = _verify_pairs(ids[li], ids[ri],
                             [arrs[i] for i in li], [arrs[i] for i in ri],
                             threshold)
@@ -267,7 +285,15 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
     pairs = distinct_by_key(pairs, "pair_key",
                             approx_count=n_docs * n_docs
                             ).drop_columns(["pair_key"])
-    joined = hash_join_pairs(pairs, sig, id_col=id_col,
+    return _distributed_verify(pairs, sig, id_col, threshold)
+
+
+def _distributed_verify(pairs_ds, sig, id_col: str, threshold: float):
+    """Fan candidate-pair verification across the cluster: size-adaptive
+    pair<->signature join, per-batch exact Jaccard kernel, global sort."""
+    from .joins import hash_join_pairs
+
+    joined = hash_join_pairs(pairs_ds, sig, id_col=id_col,
                              payload_cols=["grams", "n_grams"])
 
     def verify_kernel(b: pa.Table) -> pa.Table:
