@@ -46,6 +46,29 @@ def _enable_hash_shuffle() -> None:
 
 _enable_hash_shuffle()
 
+
+def _silence_schema_hash_noise() -> None:
+    """Drop Ray's per-task "Failed to hash the schemas (for deduplication)"
+    warning: parquet files written via pandas carry a ``b'pandas'`` schema
+    metadata blob that makes ``hash(pa.Schema)`` raise inside Ray's
+    ``unify_schemas`` early-exit — harmless (it falls through to the full
+    unify) but emitted once per read/aggregator task.  Our own shuffles
+    strip the metadata (joins.keyed_repartition); this filter covers the
+    read tasks Ray fuses before any engine stage runs.  Best-effort: it
+    applies in every process that imports courlan_ray (driver + reused
+    workers)."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record):   # pragma: no cover - log plumbing
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_F())
+
+
+_silence_schema_hash_noise()
+
 from .config import DedupConfig, DEFAULT_CONFIG
 from .functions.urls import (
     basic_filter, check_url, clean_url, decode_punycode, extension_filter,
