@@ -77,6 +77,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, ch, rate, _, _, bits = fmt
     if ch < 1:
         raise AudioCodecError("zero channels")
+    if rate < 1:      # a 0-rate header would crash duration math downstream
+        raise AudioCodecError("zero sample rate")
     if audio_fmt == 1:                        # integer PCM
         dt = {8: np.uint8, 16: "<i2", 32: "<i4"}.get(bits)
         if dt is None:

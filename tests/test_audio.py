@@ -128,3 +128,14 @@ def test_wav_decode_float_and_8bit():
             + b"data" + struct.pack("<I", len(pcm8)) + pcm8)
     y8, r8 = ac.decode_wav(hdr8)
     assert r8 == 8000 and np.abs(y8[:, 0] - x).max() <= 1.0 / 128 + 1e-12
+
+
+def test_wav_zero_rate_rejected():
+    """A header claiming 0 Hz must raise, not ZeroDivisionError later."""
+    import struct
+    data = np.zeros(10, dtype="<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    with pytest.raises(ac.AudioCodecError, match="rate"):
+        ac.decode_wav(hdr)
