@@ -56,3 +56,38 @@ def test_cli_sample(tmp_path):
     hosts = {u.split("/", 3)[2] for u in lines}
     assert len(lines) >= 1                   # sampler must emit something
     assert len(hosts) == len(lines)          # one per host
+
+
+def test_dedup_job_entrypoint(tmp_path, ray_session):
+    """jobs/dedup_job.py runs the flagship end-to-end in-process (the same
+    code path `ray job submit` drives on a real cluster) and writes
+    partitioned parquet outputs + metrics.json."""
+    import json
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo")
+    from courlan_ray.sources.synth import synth_parquet
+    from jobs.dedup_job import main
+
+    inp = synth_parquet(500, 42, root=str(tmp_path / "in"))
+    outdir = str(tmp_path / "out")
+    rc = main(["--input", inp, "--output", outdir,
+               "--checkpoint", str(tmp_path / "ck")])
+    assert rc == 0
+    m = json.load(open(os.path.join(outdir, "metrics.json")))
+    assert m["rows_clusters"] > 400
+    assert m["rows_counters"] >= 1
+    got = pq.read_table(os.path.join(outdir, "clusters"))
+    assert set(got.column_names) >= {"image_id", "cluster_id",
+                                     "cluster_size", "is_representative"}
+    # resume: a second run skips completed stages (manifest records)
+    rc2 = main(["--input", inp, "--output", str(tmp_path / "out2"),
+                "--checkpoint", str(tmp_path / "ck")])
+    assert rc2 == 0
+    from courlan_ray.state.manifest import Checkpoint
+    from courlan_ray.config import DedupConfig
+    recs = Checkpoint(str(tmp_path / "ck"), DedupConfig()).records()
+    assert any(r.get("status") == "skipped" for r in recs)
