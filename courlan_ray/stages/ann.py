@@ -7,7 +7,8 @@
   path: query probes only its own hash bucket (plus multi-probe neighbors),
   so per-query work drops from O(N) to O(N / 2^bits * probes).
 - ``embedding_neardup_pairs``: embedding-cosine near-duplicate pairs via
-  the same hyperplane buckets + star edges + exact cosine verification.
+  multi-table hyperplane buckets (within-bucket pairs, star fallback for
+  oversized buckets) + exact cosine verification.
 """
 
 from __future__ import annotations
@@ -227,14 +228,23 @@ def ann_lsh(ds, queries: np.ndarray, k: int, *, bits: int = 8,
 
 
 def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
-                            bits: int = 10, id_col: str = "vec_id",
+                            bits: int = 10, n_tables: int = 8,
+                            id_col: str = "vec_id",
                             vec_col: str = "embedding"):
-    """Embedding-cosine near-dup candidate pairs: hyperplane buckets ->
-    star edges (min id per bucket) -> exact cosine verification.
-    Returns Dataset (left_id, right_id, cos_sim) with cos_sim >= threshold."""
-    from .agg import grouped_agg
-    from .joins import attach_by_key, _collect
+    """Embedding-cosine near-dup candidate pairs: MULTI-TABLE hyperplane
+    LSH (``n_tables`` independent ``bits``-bit tables — candidate iff the
+    pair collides in ANY table) -> star edges (min id per bucket) ->
+    exact cosine verification.  Returns Dataset (left_id, right_id,
+    cos_sim) with cos_sim >= threshold.
 
+    One table is NOT enough: per-pair collision probability is
+    ``(1 - theta/pi)^bits`` — only ~0.53 at cos 0.95 with 6 bits, so a
+    single table missed ~half of true near-dups (measured round 3).
+    With 8 x 10-bit tables the miss rate at cos 0.95 is
+    ``(1 - 0.9^10)^8 ~= 3%`` and candidates stay ~n_tables rows per
+    vector (narrow (bucket, vid) postings; the same multiple-bands logic
+    as the caption MinHash channel, stages/lsh.py).  Planted-recall
+    >= 0.98 pinned in tests/test_ann.py."""
     seed = cfg.seed + 31
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -243,21 +253,80 @@ def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
                              "vid": pa.array([], pa.string())})
         vecs = _vecs(batch, vec_col)
         dim = vecs.shape[1]
-        planes = _hyperplanes(dim, bits, seed)
+        planes = _hyperplanes(dim, bits * n_tables, seed)
         norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        b = _bucket_of(vecs / norms, planes)
+        vn = vecs / norms
         ids = pa.compute.cast(batch[id_col], pa.string())
-        return pa.table({"bucket": pa.array(b, pa.int64()), "vid": ids})
+        n = batch.num_rows
+        buckets = np.empty((n_tables, n), dtype=np.int64)
+        for t in range(n_tables):
+            b = _bucket_of(vn, planes[:, t * bits:(t + 1) * bits])
+            # table index in the high bits: buckets never collide across
+            # tables, so one groupby covers all tables
+            buckets[t] = (np.int64(t) << np.int64(56)) | b
+        idx = np.tile(np.arange(n, dtype=np.int64), n_tables)
+        return pa.table({"bucket": pa.array(buckets.ravel(), pa.int64()),
+                         "vid": ids.take(pa.array(idx, pa.int64()))})
 
     banded = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
-    reps = grouped_agg(banded, ["bucket"], [("vid", "min", "rep")])
-    edges = attach_by_key(banded, reps, ["bucket"]).map_batches(
-        lambda b: b.filter(pa.compute.invert(
-            pa.compute.equal(b["vid"], b["rep"]))),
-        batch_format="pyarrow")
-    pairs = edges.map_batches(
-        lambda b: pa.table({"left_id": b["rep"], "right_id": b["vid"]}),
-        batch_format="pyarrow")
+
+    # per-bucket pair emission: ALL pairs for buckets <= pair_cap (a star
+    # reduction would emit only (rep, member) pairs and silently drop
+    # member-member near-dups — measured 0.93 vs >= 0.98 recall on planted
+    # truth); oversized buckets (degenerate/hot — e.g. all-identical
+    # vectors) fall back to star edges, which keep cluster connectivity
+    # at O(bucket) instead of O(bucket^2)
+    pair_cap = 64
+
+    def bucket_pairs(b: pa.Table) -> pa.Table:
+        from .joins import safe_combine
+        from ..functions.hashing import hash_strings, hash_u64_pair
+        empty = pa.table({"left_id": pa.array([], pa.string()),
+                          "right_id": pa.array([], pa.string()),
+                          "pair_key": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        b = safe_combine(b)
+        bucket = b["bucket"].to_numpy(zero_copy_only=False)
+        vid = b["vid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, bucket))
+        bk, vd = bucket[order], vid[order]
+        first = np.r_[True, bk[1:] != bk[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, bk.size))
+        ls, rs = [], []
+        for s, m in zip(starts, lens):
+            if m < 2:
+                continue
+            if m <= pair_cap:
+                i, j = np.triu_indices(int(m), 1)
+                ls.append(vd[s + i])
+                rs.append(vd[s + j])
+            else:                      # star: min vid (sorted -> first)
+                ls.append(np.repeat(vd[s], m - 1))
+                rs.append(vd[s + 1:s + m])
+        if not ls:
+            return empty
+        left = np.concatenate(ls)
+        right = np.concatenate(rs)
+        pk = hash_u64_pair(hash_strings(left, seed=0xE27),
+                           hash_strings(right, seed=0xE27)).view(np.int64)
+        return pa.table({"left_id": pa.array(left),
+                         "right_id": pa.array(right),
+                         "pair_key": pa.array(pk, pa.int64())})
+
+    # one keyed shuffle co-locates buckets; a pair colliding in several
+    # tables appears once per table — dedupe on a 64-bit pair key before
+    # the (much more expensive) verification
+    from .agg import distinct_by_key
+    from .joins import keyed_repartition, keyed_shuffle_partitions
+    located = keyed_repartition(banded,
+                                keyed_shuffle_partitions(
+                                    cfg.shuffle_partitions), ["bucket"])
+    pairs = distinct_by_key(
+        located.map_batches(bucket_pairs, batch_format="pyarrow",
+                            batch_size=None),
+        "pair_key").drop_columns(["pair_key"])
 
     # verify with exact cosine: attach each side's vector via the
     # size-adaptive pair<->payload join (broadcast when small, two
