@@ -148,35 +148,49 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int, *,
 
 
 def ann_lsh(ds, queries: np.ndarray, k: int, *, bits: int = 8,
-            n_probes: int = 3, seed: int = 97,
+            n_probes: int = 3, n_tables: int = 4, seed: int = 97,
             id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Approximate top-k: hyperplane-bucket the corpus, probe each query's
-    bucket plus its ``n_probes`` nearest Hamming-1 buckets.  Returns the
-    same schema as knn_bruteforce (approximate contents).
+    """Approximate top-k: ``n_tables`` independent hyperplane tables; each
+    query probes, per table, its own bucket plus its ``n_probes``
+    lowest-margin Hamming-1 neighbors; a row is scored against a query if
+    they collide in ANY table.  Returns the same schema as knn_bruteforce
+    (approximate contents).
 
-    Scale shape (VERDICT round 1 #4): the (bucket -> probing queries)
-    mapping is broadcast as flat sorted arrays; each map task filters its
-    rows to probed buckets, scores ONLY the (row, probing query) pairs,
-    and emits a per-batch partial top-k per query; partials tree-merge
-    (``_merge_topk``) — never the full candidate set in one place."""
+    Multi-table is the recall lever (one 8-bit table collides a cos-0.95
+    neighbor ~43% of the time even with multi-probe; 4 tables push the
+    any-table collision >95%), costing n_tables bucket computations and a
+    per-batch (row, query) dedupe, never a second corpus pass.
+
+    Scale shape (VERDICT round 1 #4): the (table-bucket -> probing
+    queries) mapping is broadcast as flat sorted arrays; each map task
+    filters its rows to probed buckets, scores ONLY the deduped
+    (row, probing query) pairs, and emits a per-batch partial top-k per
+    query; partials tree-merge (``_merge_topk``) — never the full
+    candidate set in one place."""
     q = np.asarray(queries, dtype=np.float64)
     nq = q.shape[0]
     if nq == 0:                       # 0 queries: typed empty (no 1-D trap)
         return _empty_topk(ds.schema().base_schema.field(id_col).type) \
             .rename_columns(["query_idx", id_col, "cos_sim"])
     dim = q.shape[1]
-    planes = _hyperplanes(dim, bits, seed)
+    planes = _hyperplanes(dim, bits * n_tables, seed)
     pref = ray.put(planes)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
 
-    # probe set per query: own bucket + flips of the lowest-margin bits
-    margins = qn @ planes
-    base = _bucket_of(qn, planes)
-    order = np.argsort(np.abs(margins), axis=1)
-    pairs = {(int(base[qi]), qi) for qi in range(nq)}
-    for qi in range(nq):
-        for j in range(min(n_probes, bits)):
-            pairs.add((int(base[qi]) ^ (1 << int(order[qi, j])), qi))
+    # probe set per (table, query): own bucket + lowest-margin bit flips;
+    # the table index rides in the bucket key's high bits
+    pairs = set()
+    for t in range(n_tables):
+        pt = planes[:, t * bits:(t + 1) * bits]
+        margins = qn @ pt
+        base = _bucket_of(qn, pt)
+        order = np.argsort(np.abs(margins), axis=1)
+        hi = t << 56
+        for qi in range(nq):
+            pairs.add((hi | int(base[qi]), qi))
+            for j in range(min(n_probes, bits)):
+                pairs.add((hi | (int(base[qi]) ^ (1 << int(order[qi, j]))),
+                           qi))
     # flatten to (sorted unique buckets W, offsets, flat query indices);
     # reshape keeps the empty case 2-D (ADVICE round 2, ann_ivf twin)
     pair_arr = np.array(sorted(pairs), dtype=np.int64).reshape(-1, 2)
@@ -196,23 +210,34 @@ def ann_lsh(ds, queries: np.ndarray, k: int, *, bits: int = 8,
         vecs = _vecs(batch, vec_col)
         norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         vn = vecs / norms
-        buckets = _bucket_of(vn, planes_)
-        pos = np.searchsorted(wb, buckets)
-        pos = np.clip(pos, 0, max(wb.size - 1, 0))
-        keep = wb.size > 0
-        hit = (wb[pos] == buckets) if keep else np.zeros(len(buckets), bool)
-        if not hit.any():
+        fr_parts, fq_parts = [], []
+        for t in range(n_tables):
+            buckets = (np.int64(t) << np.int64(56)) | _bucket_of(
+                vn, planes_[:, t * bits:(t + 1) * bits])
+            pos = np.clip(np.searchsorted(wb, buckets), 0,
+                          max(wb.size - 1, 0))
+            hit = (wb[pos] == buckets) if wb.size else \
+                np.zeros(len(buckets), bool)
+            if not hit.any():
+                continue
+            rows = np.flatnonzero(hit)
+            p = pos[hit]
+            counts = woff[p + 1] - woff[p]
+            fr_parts.append(np.repeat(rows, counts))
+            fq_parts.append(wq[np.repeat(woff[p], counts)
+                               + _ranges_within(counts)])
+        if not fr_parts:
             return empty
-        rows = np.flatnonzero(hit)
-        p = pos[hit]
-        counts = woff[p + 1] - woff[p]
-        # flat (row, query) pairs: each kept row scored only against the
-        # queries probing its bucket
-        flat_rows = np.repeat(rows, counts)
-        flat_q = wq[np.repeat(woff[p], counts)
-                    + _ranges_within(counts)]
+        flat_rows = np.concatenate(fr_parts)
+        flat_q = np.concatenate(fq_parts)
+        # a (row, query) pair colliding in several tables must score once
+        # (duplicates would occupy top-k slots); nq fits 24 bits easily
+        key = flat_rows.astype(np.uint64) << np.uint64(24) \
+            | flat_q.astype(np.uint64)
+        _, ui = np.unique(key, return_index=True)
+        flat_rows, flat_q = flat_rows[ui], flat_q[ui]
+        rows, row_local = np.unique(flat_rows, return_inverse=True)
         sims_all = vn[rows] @ cached_get(qref)           # (kept, nq)
-        row_local = np.repeat(np.arange(rows.size), counts)
         flat_sims = sims_all[row_local, flat_q]
         # per-batch partial top-k per query (numpy lexsort, no pandas)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
