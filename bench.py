@@ -98,16 +98,20 @@ def run_bench() -> dict:
             r.count()
         timings[name] = round(time.time() - t0, 3)
 
-    from courlan_ray.pipelines.extras import (doc_minhash_clusters,
+    from courlan_ray.pipelines.extras import (audio_dedup_pairs,
+                                              doc_minhash_clusters,
                                               doc_ngram_jaccard,
                                               emb_neardup_exact,
                                               events_asof_prev_click,
-                                              events_rolling_1h)
+                                              events_rolling_1h,
+                                              video_dedup_pairs)
     for name, fn in (("doc_minhash_clusters", doc_minhash_clusters),
                      ("doc_ngram_jaccard", doc_ngram_jaccard),
                      ("emb_neardup_exact", emb_neardup_exact),
                      ("events_asof_prev_click", events_asof_prev_click),
-                     ("events_rolling_1h", events_rolling_1h)):
+                     ("events_rolling_1h", events_rolling_1h),
+                     ("audio_dedup_pairs", audio_dedup_pairs),
+                     ("video_dedup_pairs", video_dedup_pairs)):
         t0 = time.time()
         fn(SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
