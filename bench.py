@@ -98,13 +98,23 @@ def run_bench() -> dict:
             r.count()
         timings[name] = round(time.time() - t0, 3)
 
-    from courlan_ray.pipelines.extras import (audio_dedup_pairs,
+    from courlan_ray.pipelines.extras import (_AUDIO_ROWS, _VIDEO_ROWS,
+                                              audio_dedup_pairs,
                                               doc_minhash_clusters,
                                               doc_ngram_jaccard,
                                               emb_neardup_exact,
                                               events_asof_prev_click,
                                               events_rolling_1h,
                                               video_dedup_pairs)
+    from courlan_ray.pipelines.extras import _sf_of as _extras_sf
+    from courlan_ray.sources.audiosynth import synth_audio_parquet
+    from courlan_ray.sources.videosynth import synth_video_parquet
+
+    # generation is untimed (cached parquet), same treatment as the image
+    # synth above — the timed region measures decode+dedup, not synthesis
+    if known:
+        synth_audio_parquet(_AUDIO_ROWS[_extras_sf(SF_DIR)], 42)
+        synth_video_parquet(_VIDEO_ROWS[_extras_sf(SF_DIR)], 42)
     for name, fn in (("doc_minhash_clusters", doc_minhash_clusters),
                      ("doc_ngram_jaccard", doc_ngram_jaccard),
                      ("emb_neardup_exact", emb_neardup_exact),
