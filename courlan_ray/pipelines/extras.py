@@ -175,6 +175,26 @@ def doc_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.5, seed=29)
 
 
+def doc_substring_pairs(sf_dir: str):
+    """EXACT shared-substring pairs: every doc pair sharing a 32-byte
+    verbatim substring, with the shared-gram count — the suffix-array
+    family's exact seeding tier (lossless: pair set == {LCS >= 32}).
+    Full DuckDB oracle (EXTRA_ORACLES['doc_substring_pairs'])."""
+    from ..stages.substring import substring_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_pairs(ds, width=32, seed=37)
+
+
+def doc_substring_lcs(sf_dir: str):
+    """Exact longest-common-substring length for every pair sharing a
+    32-byte substring, via the generalized suffix array
+    (functions/suffixarray.lcs_len) — not SQL-expressible (rows-only);
+    DP-parity and lcs_len >= width pinned in tests/test_substring.py."""
+    from ..stages.substring import substring_lcs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_lcs(ds, width=32, seed=37)
+
+
 def emb_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-5 for 4 fixed query vectors, compared
     against the brute-force baseline schema."""
@@ -795,6 +815,24 @@ def _build_extra_oracles() -> dict[str, str]:
                      JOIN sz sb ON sb.doc_id = i.right_id
         WHERE i.c / (sa.n + sb.n - i.c)::double >= 0.5
         ORDER BY left_id, right_id""",
+        # exact shared-substring pairs: enumerate every 32-char window
+        # (generate_series is constant-bounded at 64 KiB — docs longer than
+        # that would need a larger constant; the synthetic corpus tops out
+        # well under 1 KiB), distinct per doc, self-join + count.  Byte vs
+        # char windows coincide on the ASCII documents table (same bound
+        # as the tokenizer note above).
+        "doc_substring_pairs": """
+        WITH gs AS (SELECT i FROM generate_series(1, 65536) t(i)),
+        g AS (
+          SELECT DISTINCT d.doc_id, substring(d.text, gs.i::INT, 32) AS gram
+          FROM documents d JOIN gs ON gs.i <= length(d.text) - 31),
+        pairs AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 CAST(count(*) AS BIGINT) AS shared_grams
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT left_id, right_id, shared_grams
+        FROM pairs ORDER BY left_id, right_id""",
         "events_sessionize": """
         WITH g AS (
           SELECT event_id, user_id, ts,
@@ -898,6 +936,8 @@ EXTRAS = {
     "doc_quality": doc_quality,
     "doc_fingerprints": doc_fingerprints,
     "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_substring_pairs": doc_substring_pairs,
+    "doc_substring_lcs": doc_substring_lcs,
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,

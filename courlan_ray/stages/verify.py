@@ -184,10 +184,10 @@ def _verdicts(cfg: DedupConfig, *, mh_l, mh_r, ph_l, ph_r, sp_l, sp_r,
         pix_ok = np.zeros(n, dtype=bool)
 
     # substring check only where cheap channels failed.  Containment
-    # |fp_l ∩ fp_r| via one vectorized explode+merge; the exact
-    # O(|a|*|b|) LCS runs only on pairs clearing a length-scaled
-    # shared-print bound (a true LCS of ratio*minlen chars yields
-    # ~ (ratio*minlen - (k+w-1)) / w shared winnowing prints).
+    # |fp_l ∩ fp_r| via one vectorized explode+merge; the exact LCS
+    # (DP / suffix-array dispatch) runs only on pairs clearing a
+    # length-scaled shared-print bound (a true LCS of ratio*minlen chars
+    # yields ~ (ratio*minlen - (k+w-1)) / w shared winnowing prints).
     sub_ratio = np.zeros(n, dtype=np.float32)
     need = ~(cap_ok | pix_ok)
     if need.any():
@@ -228,12 +228,16 @@ def _verdicts(cfg: DedupConfig, *, mh_l, mh_r, ph_l, ph_r, sp_l, sp_r,
         r_cnt = fp_e_r - fp_s_r
         lcs_idx = idx[(inter[idx] >= floor[idx])
                       & (l_cnt[idx] > 0) & (r_cnt[idx] > 0)]
-        for i in lcs_idx:
-            a = bytes(cap_buf_l[cap_s_l[i]:cap_e_l[i]])
-            b = bytes(cap_buf_r[cap_s_r[i]:cap_e_r[i]])
-            denom = min(len(a), len(b))
-            if denom >= cfg.fingerprint_k:
-                sub_ratio[i] = _lcs_len(a, b) / denom
+        if lcs_idx.size:
+            # exact LCS: rolling DP for caption-sized pairs, generalized
+            # suffix array above the crossover (functions/suffixarray.py)
+            from ..functions.suffixarray import lcs_len
+            for i in lcs_idx:
+                a = bytes(cap_buf_l[cap_s_l[i]:cap_e_l[i]])
+                b = bytes(cap_buf_r[cap_s_r[i]:cap_e_r[i]])
+                denom = min(len(a), len(b))
+                if denom >= cfg.fingerprint_k:
+                    sub_ratio[i] = lcs_len(a, b) / denom
     sub_ok = sub_ratio >= cfg.substring_min_ratio
 
     return {

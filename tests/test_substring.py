@@ -1,0 +1,199 @@
+"""Suffix-array kernels (functions/suffixarray.py) and the exact
+shared-substring stage (stages/substring.py).
+
+Covers: SA vs naive sorted-suffixes, batched LCP vs naive scan (incl. the
+i == j degenerate case), generalized-SA LCS vs the O(n·m) DP
+(stages/verify._lcs_len), the lossless seeding invariant
+(pair set == {LCS >= width}, every emitted lcs_len >= width),
+driver-vs-shuffle path parity, and the DuckDB oracle twin."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from courlan_ray.functions.suffixarray import (lcp_of_pairs, lcs_len,
+                                               lcs_len_sa, suffix_array,
+                                               suffix_array_with_ranks)
+from courlan_ray.stages.verify import _lcs_len
+
+
+def _naive_sa(b: bytes) -> list[int]:
+    return sorted(range(len(b)), key=lambda i: b[i:])
+
+
+def _naive_lcs(a: bytes, b: bytes) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+def test_suffix_array_matches_naive():
+    rng = random.Random(7)
+    cases = [b"", b"a", b"aa", b"ab", b"banana", b"mississippi",
+             b"abababab", bytes(range(256))]
+    for _ in range(100):
+        n = rng.randint(0, 80)
+        alpha = rng.choice([b"ab", b"abc", b"abcdefgh"])
+        cases.append(bytes(rng.choice(alpha) for _ in range(n)))
+    for s in cases:
+        assert list(suffix_array(s)) == _naive_sa(s), s
+
+
+def test_lcp_of_pairs_matches_naive_scan():
+    rng = random.Random(11)
+    for _ in range(60):
+        n = rng.randint(2, 60)
+        s = bytes(rng.choice(b"abc") for _ in range(n))
+        arr = np.frombuffer(s, np.uint8).astype(np.int64)
+        _, levels = suffix_array_with_ranks(arr)
+        i = np.array([rng.randrange(n) for _ in range(25)])
+        j = np.array([rng.randrange(n) for _ in range(25)])
+        got = lcp_of_pairs(levels, i, j, n)
+        for t in range(25):
+            ii, jj, k = int(i[t]), int(j[t]), 0
+            while ii + k < n and jj + k < n and s[ii + k] == s[jj + k]:
+                k += 1
+            assert got[t] == k, (s, ii, jj)
+
+
+def test_lcp_identical_indices_full_tail():
+    s = b"abracadabra"
+    arr = np.frombuffer(s, np.uint8).astype(np.int64)
+    _, levels = suffix_array_with_ranks(arr)
+    i = np.arange(len(s))
+    got = lcp_of_pairs(levels, i, i, len(s))
+    assert (got == len(s) - i).all()
+
+
+def test_lcs_sa_matches_naive_and_dp():
+    rng = random.Random(13)
+    for _ in range(150):
+        la, lb = rng.randint(0, 50), rng.randint(0, 50)
+        alpha = rng.choice([b"ab", b"abcd"])
+        a = bytes(rng.choice(alpha) for _ in range(la))
+        b = bytes(rng.choice(alpha) for _ in range(lb))
+        want = _naive_lcs(a, b)
+        assert lcs_len_sa(a, b) == want
+        assert _lcs_len(a, b) == want
+        assert lcs_len(a, b) == want
+
+
+def test_lcs_dispatch_parity_on_long_strings():
+    rng = random.Random(17)
+    for size in (300, 900, 2500):
+        a = bytes(rng.choice(b"abcdefgh") for _ in range(size))
+        b = bytearray(rng.choice(b"abcdefgh") for _ in range(size))
+        # plant a long verbatim overlap
+        b[50:50 + size // 2] = a[100:100 + size // 2]
+        b = bytes(b)
+        assert lcs_len_sa(a, b) == _lcs_len(a, b) >= size // 2
+
+
+def test_lcs_edge_cases():
+    assert lcs_len_sa(b"", b"abc") == 0
+    assert lcs_len_sa(b"abc", b"") == 0
+    assert lcs_len_sa(b"x", b"y") == 0
+    assert lcs_len_sa(b"x", b"x") == 1
+    assert lcs_len_sa(b"abc", b"abc") == 3
+    # bytes above ASCII (the SEP sentinel must still be unique)
+    assert lcs_len_sa(bytes([255, 254, 1]), bytes([255, 254, 2])) == 2
+
+
+# ---------------------------------------------------------------- stage
+
+
+def _docs_table():
+    """12 docs: two planted near-verbatim pairs (long shared substrings),
+    one identical pair, the rest random enough to share nothing at
+    width=16."""
+    rng = random.Random(23)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(30)) for _ in range(8)]
+    shared = " ".join(rng.choice(vocab) for _ in range(10))
+    texts.append("prefix one " + shared)           # 8
+    texts.append("prefix other two " + shared)     # 9  (pair with 8)
+    texts.append(texts[0])                          # 10 (identical to 0)
+    texts.append("tail " + texts[3][20:100])        # 11 (substring of 3)
+    return pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(_docs_table())
+
+
+def test_substring_pairs_planted_and_invariant(docs_ds):
+    from courlan_ray.stages.substring import substring_pairs
+    width = 16
+    got = substring_pairs(docs_ds, width=width, seed=5).to_pandas()
+    pairs = set(zip(got.left_id, got.right_id))
+    assert (8, 9) in pairs and (0, 10) in pairs and (3, 11) in pairs
+    # lossless seeding: pair set == {LCS >= width} vs brute force
+    texts = _docs_table()["text"].to_pylist()
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if lcs_len(texts[i].encode(), texts[j].encode()) >= width:
+                want.add((i, j))
+    assert pairs == want
+    # shared_grams == |gram-set intersection| vs brute force
+    for _, r in got.iterrows():
+        a, b = texts[int(r.left_id)].encode(), texts[int(r.right_id)].encode()
+        ga = {a[i:i + width] for i in range(len(a) - width + 1)}
+        gb = {b[i:i + width] for i in range(len(b) - width + 1)}
+        assert r.shared_grams == len(ga & gb)
+
+
+def test_substring_pairs_path_parity(docs_ds):
+    from courlan_ray.stages.substring import substring_pairs
+    a = substring_pairs(docs_ds, width=16, seed=5).to_pandas()
+    b = substring_pairs(docs_ds, width=16, seed=5, driver_max=0).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_substring_lcs_exact_and_bounded(docs_ds):
+    from courlan_ray.stages.substring import substring_lcs
+    width = 16
+    got = substring_lcs(docs_ds, width=width, seed=5).to_pandas()
+    assert (got.lcs_len >= width).all()
+    texts = _docs_table()["text"].to_pylist()
+    for _, r in got.iterrows():
+        want = _lcs_len(texts[int(r.left_id)].encode(),
+                        texts[int(r.right_id)].encode())
+        assert int(r.lcs_len) == want
+    scale = substring_lcs(docs_ds, width=width, seed=5,
+                          driver_max=0).to_pandas()
+    assert got.reset_index(drop=True).equals(scale.reset_index(drop=True))
+
+
+def test_substring_pairs_short_docs_no_grams(ray_session):
+    """Docs shorter than width contribute zero grams (SQL-twin semantics),
+    even when identical."""
+    import ray.data as rd
+    from courlan_ray.stages.substring import substring_pairs
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["same", "same", "longer but unique x"])})
+    got = substring_pairs(rd.from_arrow(t), width=32, seed=5).to_pandas()
+    assert len(got) == 0
+
+
+def test_substring_pairs_empty_input(ray_session):
+    import ray.data as rd
+    from courlan_ray.stages.substring import substring_lcs, substring_pairs
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    ds = rd.from_arrow(t)
+    assert substring_pairs(ds, width=16).to_pandas().empty
+    assert substring_lcs(ds, width=16).to_pandas().empty
