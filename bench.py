@@ -102,6 +102,7 @@ def run_bench() -> dict:
                                               audio_dedup_pairs,
                                               doc_minhash_clusters,
                                               doc_ngram_jaccard,
+                                              doc_substring_pairs,
                                               emb_neardup_exact,
                                               events_asof_prev_click,
                                               events_rolling_1h,
@@ -117,6 +118,7 @@ def run_bench() -> dict:
         synth_video_parquet(_VIDEO_ROWS[_extras_sf(SF_DIR)], 42)
     for name, fn in (("doc_minhash_clusters", doc_minhash_clusters),
                      ("doc_ngram_jaccard", doc_ngram_jaccard),
+                     ("doc_substring_pairs", doc_substring_pairs),
                      ("emb_neardup_exact", emb_neardup_exact),
                      ("events_asof_prev_click", events_asof_prev_click),
                      ("events_rolling_1h", events_rolling_1h),

@@ -83,7 +83,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         dt = {8: np.uint8, 16: "<i2", 32: "<i4"}.get(bits)
         if dt is None:
             raise AudioCodecError(f"unsupported PCM width {bits}")
-        raw = np.frombuffer(data, dtype=dt)
+        # tolerate a sample-misaligned data length (stray trailing bytes in
+        # corrupt files) — np.frombuffer would raise a bare ValueError that
+        # escapes the stage's except-AudioCodecError and kills the actor
+        step = np.dtype(dt).itemsize
+        raw = np.frombuffer(data[: len(data) - len(data) % step], dtype=dt)
         if bits == 8:                         # 8-bit WAV is unsigned
             x = (raw.astype(np.float64) - 128.0) / 128.0
         else:
@@ -94,7 +98,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         dt = {32: "<f4", 64: "<f8"}.get(bits)
         if dt is None:
             raise AudioCodecError(f"unsupported float width {bits}")
-        x = np.frombuffer(data, dtype=dt).astype(np.float64)
+        step = np.dtype(dt).itemsize
+        x = np.frombuffer(data[: len(data) - len(data) % step],
+                          dtype=dt).astype(np.float64)
     else:
         raise AudioCodecError(f"unsupported WAV format code {audio_fmt}")
     n = x.size // ch

@@ -348,10 +348,14 @@ def embedding_neardup_pairs(ds, cfg: DedupConfig, *, threshold: float = 0.95,
     located = keyed_repartition(banded,
                                 keyed_shuffle_partitions(
                                     cfg.shuffle_partitions), ["bucket"])
+    # candidate cardinality is quadratic in bucket sizes: declare the n²
+    # upper bound so the distinct routes through the keyed shuffle at
+    # scale instead of the lazy-auto tree default (the round-1 agg trap)
+    n_vecs = banded.count() // max(n_tables, 1)
     pairs = distinct_by_key(
         located.map_batches(bucket_pairs, batch_format="pyarrow",
                             batch_size=None),
-        "pair_key").drop_columns(["pair_key"])
+        "pair_key", approx_count=n_vecs * n_vecs).drop_columns(["pair_key"])
 
     # verify with exact cosine: attach each side's vector via the
     # size-adaptive pair<->payload join (broadcast when small, two

@@ -139,3 +139,19 @@ def test_wav_zero_rate_rejected():
            + b"data" + struct.pack("<I", len(data)) + data)
     with pytest.raises(ac.AudioCodecError, match="rate"):
         ac.decode_wav(hdr)
+
+
+def test_wav_misaligned_data_chunk_decodes():
+    """A data chunk with a stray trailing byte must decode (truncated to
+    sample alignment), never leak a bare ValueError from np.frombuffer
+    past the stage's except-AudioCodecError."""
+    good = ac.encode_wav(np.linspace(-0.5, 0.5, 101), rate=8000)
+    import struct
+    # append one garbage byte to the data chunk and patch both lengths
+    (dlen,) = struct.unpack("<I", good[40:44])
+    bad = (good[:4] + struct.pack("<I", 37 + dlen) + good[8:40]
+           + struct.pack("<I", dlen + 1) + good[44:] + b"\x7f")
+    x, rate = ac.decode_wav(bad)
+    assert rate == 8000 and x.shape == (101, 1)
+    ref, _ = ac.decode_wav(good)
+    assert np.array_equal(x, ref)
