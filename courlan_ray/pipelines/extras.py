@@ -195,6 +195,79 @@ def doc_substring_lcs(sf_dir: str):
     return substring_lcs(ds, width=32, seed=37)
 
 
+def doc_top_tokens(sf_dir: str, k: int = 20):
+    """Exact global top-k most frequent tokens (vocabulary heavy hitters):
+    per-block partial counts -> grouped combine tree -> distributed top-k
+    (stages/topk.py) — never a global sort, never a full-vocab driver
+    collect.  Full DuckDB oracle (EXTRA_ORACLES['doc_top_tokens']).  At
+    10^9+-token vocab scale callers declare the cardinality so the count
+    routes through the keyed shuffle (grouped_agg's declared-cardinality
+    contract)."""
+    from ..functions.textstats import _explode_tokens
+    from ..stages.agg import grouped_agg
+    from ..stages.topk import topk_rows
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        flat, _ = _explode_tokens(pd.Series(b["text"].to_pylist()))
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = flat.value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object)),
+                         "n": pa.array(vc.to_numpy(dtype=np.int64))})
+
+    tot = grouped_agg(ds.map_batches(counts, batch_format="pyarrow",
+                                     batch_size=None),
+                      ["token"], [("n", "sum", "n")])
+    return topk_rows(tot, [("n", "descending"), ("token", "ascending")], k)
+
+
+def doc_sample_uniform(sf_dir: str, k: int = 50):
+    """Deterministic uniform k-sample without a global sort: every row
+    gets a multiplicative-hash priority (Knuth 2654435761 mod 2^32 — SQL-
+    expressible, so the oracle is exact), and the k smallest priorities
+    win via the distributed top-k tree.  The distributed equivalent of
+    reservoir sampling, but deterministic and rerun-stable (retry-safe:
+    recomputing a block yields identical priorities).  Full DuckDB oracle
+    (EXTRA_ORACLES['doc_sample_uniform'])."""
+    from ..stages.topk import topk_rows
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def prio(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pa.table({"doc_id": b["doc_id"],
+                         "priority": pa.array(p.astype(np.int64))})
+
+    return topk_rows(ds.map_batches(prio, batch_format="pyarrow",
+                                    batch_size=None),
+                     [("priority", "ascending"), ("doc_id", "ascending")], k)
+
+
+def doc_decontaminate(sf_dir: str, n: int = 8):
+    """Benchmark decontamination: per training doc, the number of distinct
+    word-8-grams shared with the benchmark corpus (docs with
+    doc_id % 50 == 0 stand in as the held-out benchmark).  Broadcast
+    gram-set membership — one streaming pass, no shuffle
+    (stages/decontam.py).  Full DuckDB oracle
+    (EXTRA_ORACLES['doc_decontaminate'])."""
+    from ..stages.decontam import (benchmark_gram_hashes,
+                                   contamination_counts)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 50) == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+        return f
+
+    grams = benchmark_gram_hashes(ds, "text", n=n, seed=41,
+                                  pre=_split(True))
+    return contamination_counts(ds, grams, "doc_id", "text", n=n, seed=41,
+                                pre=_split(False)).sort("doc_id")
+
+
 def emb_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-5 for 4 fixed query vectors, compared
     against the brute-force baseline schema."""
@@ -729,6 +802,39 @@ def _build_extra_oracles() -> dict[str, str]:
           FROM v WHERE NOT good)
         SELECT * FROM good_rows UNION ALL SELECT * FROM bad_rows
         ORDER BY video_id, frame_idx""",
+        # exact heavy hitters: same token class as the engine kernel
+        "doc_top_tokens": r"""
+        WITH t AS (
+          SELECT unnest(regexp_extract_all(
+                   lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?')) AS token
+          FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY token
+        ORDER BY n DESC, token LIMIT 20""",
+        # deterministic hash-min-k sample: same multiplicative hash
+        "doc_sample_uniform": """
+        SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS priority
+        FROM documents ORDER BY priority, doc_id LIMIT 50""",
+        # decontamination: string word-8-grams mirror the engine's 64-bit
+        # chain-hash grams (equal up to hash collisions; pinned by test)
+        "doc_decontaminate": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text),
+                   '[^\W\d_]+(?:''[^\W\d_]+)?') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+          FROM t, unnest(generate_series(1, greatest(len(toks) - 7, 0)))
+                    AS u(i)),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        h AS (
+          SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+          FROM g JOIN bg USING (gram)
+          WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+        SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+        FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
         # BPE-ish token counts: RE2-safe pretokenizer (see BPEISH_RE2)
         "doc_token_counts_bpe": r"""
         SELECT doc_id,
@@ -938,6 +1044,9 @@ EXTRAS = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_substring_pairs": doc_substring_pairs,
     "doc_substring_lcs": doc_substring_lcs,
+    "doc_top_tokens": doc_top_tokens,
+    "doc_sample_uniform": doc_sample_uniform,
+    "doc_decontaminate": doc_decontaminate,
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,
