@@ -268,6 +268,39 @@ def doc_decontaminate(sf_dir: str, n: int = 8):
                                 pre=_split(False)).sort("doc_id")
 
 
+def events_top3_per_user(sf_dir: str):
+    """Exact top-3 events per user by value (the "best N per group"
+    operator — SQL's row_number window, computed as per-block segmented
+    top-k + a combine tree; stages/topk.topk_per_group).  Full DuckDB
+    oracle (EXTRA_ORACLES['events_top3_per_user'])."""
+    from ..stages.topk import topk_per_group
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = topk_per_group(ds, ["user_id"],
+                         [("value", "descending"),
+                          ("event_id", "ascending")], 3,
+                         approx_groups=_nrows(sf_dir, "events"))
+    return out.sort(["user_id", "value", "event_id"],
+                    descending=[False, True, False])
+
+
+def doc_top_tokens_approx(sf_dir: str, k: int = 20):
+    """Misra-Gries approximate heavy hitters over document tokens — the
+    constant-exchange scale path beside the exact doc_top_tokens tree
+    (stages/sketch.mg_topk).  Rows-only driver check (lower-bound
+    estimates aren't SQL-reproducible); the deterministic error bound and
+    exact-top-k set recovery are pinned in tests/test_topk_decontam.py."""
+    from ..functions.textstats import _explode_tokens
+    from ..stages.sketch import mg_topk
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        flat, _ = _explode_tokens(pd.Series(b["text"].to_pylist()))
+        return pa.table({"token": pa.array(flat.to_numpy(dtype=object),
+                                           pa.string())})
+
+    return mg_topk(ds, "token", capacity=4096, k=k, pre=explode)
+
+
 def emb_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-5 for 4 fixed query vectors, compared
     against the brute-force baseline schema."""
@@ -835,6 +868,15 @@ def _build_extra_oracles() -> dict[str, str]:
         SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
         WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
+        # per-group top-k: the row_number window twin
+        "events_top3_per_user": """
+        WITH r AS (
+          SELECT event_id, user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+        SELECT event_id, user_id, value FROM r WHERE rn <= 3
+        ORDER BY user_id, value DESC, event_id""",
         # BPE-ish token counts: RE2-safe pretokenizer (see BPEISH_RE2)
         "doc_token_counts_bpe": r"""
         SELECT doc_id,
@@ -1045,8 +1087,10 @@ EXTRAS = {
     "doc_substring_pairs": doc_substring_pairs,
     "doc_substring_lcs": doc_substring_lcs,
     "doc_top_tokens": doc_top_tokens,
+    "doc_top_tokens_approx": doc_top_tokens_approx,
     "doc_sample_uniform": doc_sample_uniform,
     "doc_decontaminate": doc_decontaminate,
+    "events_top3_per_user": events_top3_per_user,
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,

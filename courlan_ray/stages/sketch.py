@@ -1,15 +1,24 @@
-"""Distributed sketches: HyperLogLog distinct-count estimation.
+"""Distributed sketches: HyperLogLog distinct-count estimation and
+Misra-Gries heavy hitters.
 
-The sketch shape for streams too large for exact distinct: every block
-reduces to a fixed 2^p-byte register array (max rank per register), the
-arrays merge by ELEMENTWISE MAX — associative + commutative + idempotent,
-so re-execution/retries cannot double-count — and only the final tiny
-array leaves the pipeline.  At 10^12 rows the exchange volume is
-2^p bytes per block, independent of row count.
+The sketch shape for streams too large for exact answers: every block
+reduces to a small fixed-size summary, summaries merge associatively, and
+only the final tiny summary leaves the pipeline.  At 10^12 rows the
+exchange volume per block is the summary size, independent of row count.
 
-Standard HLL estimator (Flajolet et al. 2007) with the small-range
+HLL: 2^p-byte register array, elementwise-MAX merge (associative +
+commutative + IDEMPOTENT, so re-execution/retries cannot double-count);
+standard Flajolet et al. 2007 estimator with the small-range
 linear-counting correction; relative error ~= 1.04 / sqrt(2^p)
-(p=12 -> ~1.6%)."""
+(p=12 -> ~1.6%).
+
+Misra-Gries: <= ``capacity`` (key, count) pairs per summary; the
+Agarwal et al. 2013 mergeable-summaries merge (sum counts, then subtract
+the (capacity+1)-th largest and drop non-positives) preserves the
+deterministic guarantee  true_count - n/capacity <= estimate <=
+true_count  regardless of merge order or tree shape — the scale
+complement to the exact ``stages/topk`` tree, the way ``hll_distinct``
+complements exact distinct-count."""
 
 from __future__ import annotations
 
@@ -69,3 +78,59 @@ def hll_distinct(ds, col: str, *, p: int = 12, seed: int = 17) -> float:
     for blob in parts["regs"]:
         regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
     return _estimate(regs)
+
+
+def mg_topk(ds, col: str, *, capacity: int = 256, k: int = 20,
+            fanout: int = 8, pre=None):
+    """Approximate top-k heavy hitters (Misra-Gries, mergeable-summaries
+    merge).  Returns a Dataset of <= k rows (col, est) sorted by estimate
+    descending; ``est`` is a LOWER bound with deterministic error
+    true - n/capacity <= est <= true (n = total value count), so any key
+    whose true frequency exceeds n/capacity is guaranteed present.
+
+    Exchange volume: <= ``capacity`` rows per block regardless of input
+    size — the scale path when the exact ``topk.topk_rows``-over-
+    ``grouped_agg`` plan's key cardinality exceeds the tree/shuffle
+    budget.  ``pre``: optional per-block transform (e.g. token explode)
+    fused into the partial kernel."""
+    import pyarrow.compute as pc
+
+    def _compress(t: pa.Table) -> pa.Table:
+        if t.num_rows <= capacity:
+            return t
+        c = t["est"].to_numpy()
+        sub = c[np.argsort(-c, kind="stable")[capacity]]
+        t = t.filter(pa.array(c - sub > 0))
+        return pa.table({col: t[col],
+                         "est": pa.array(t["est"].to_numpy() - sub,
+                                         pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if pre is not None:
+            b = pre(b)
+        if b.num_rows == 0:
+            return pa.table({col: pa.array([], b[col].type),
+                             "est": pa.array([], pa.int64())})
+        t = b.select([col]).append_column(
+            "__one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        agg = t.group_by([col]).aggregate([("__one", "sum")])
+        return _compress(pa.table({col: agg[col], "est": agg["__one_sum"]}))
+
+    def combine(b: pa.Table) -> pa.Table:
+        agg = b.group_by([col]).aggregate([("est", "sum")])
+        return _compress(pa.table({col: agg[col], "est": agg["est_sum"]}))
+
+    cur = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    while cur.num_blocks() > 1:
+        target = max(1, cur.num_blocks() // fanout)
+        cur = (cur.repartition(target)
+                  .map_batches(combine, batch_format="pyarrow",
+                               batch_size=None).materialize())
+
+    def head(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("est", "descending"),
+                                            (col, "ascending")])
+        return b.take(idx.slice(0, k))
+
+    return cur.map_batches(head, batch_format="pyarrow", batch_size=None)

@@ -15,6 +15,7 @@ for the result to be deterministic and oracle-comparable.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -30,10 +31,72 @@ def topk_rows(ds, sort_keys: list[tuple[str, str]], k: int, *,
     order = [(c, d) for c, d in sort_keys]
 
     def local(b: pa.Table) -> pa.Table:
+        if b.schema.metadata:      # pandas blob makes hash(Schema) raise
+            b = b.replace_schema_metadata(None)
         if b.num_rows == 0:
             return b
         idx = pc.sort_indices(b, sort_keys=order)
         return b.take(idx.slice(0, k))
+
+    cur = ds.map_batches(local, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    while cur.num_blocks() > 1:
+        target = max(1, cur.num_blocks() // fanout)
+        cur = (cur.repartition(target)
+                  .map_batches(local, batch_format="pyarrow",
+                               batch_size=None).materialize())
+    return cur
+
+
+def topk_per_group(ds, group_keys: list[str],
+                   sort_keys: list[tuple[str, str]], k: int, *,
+                   fanout: int = 8, mode: str = "auto",
+                   approx_groups: int | None = None):
+    """Exact top-k rows PER GROUP (the "best N documents per domain"
+    operator): SQL's ``row_number() OVER (PARTITION BY ... ORDER BY ...)
+    <= k`` without a global sort.
+
+    Per-group top-k is associative like global top-k, so the plan is the
+    same partial/combine shape: each block keeps its local top-k per group
+    (one group-major vectorized sort + segmented rank, no per-group loop),
+    then either a fanout combine tree (small group count) or ONE keyed
+    hash-shuffle on ``group_keys`` + a final per-partition pass (every
+    group lands wholly in one partition — the 10^9-groups topology).
+    Routing follows the declared-cardinality contract of
+    ``stages/agg.resolve_agg_mode``: declare ``approx_groups`` at scale.
+
+    ``sort_keys`` must totally order rows within a group (append a unique
+    id) for deterministic, oracle-comparable output."""
+    from .agg import resolve_agg_mode
+
+    order = [(g, "ascending") for g in group_keys] + list(sort_keys)
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.schema.metadata:      # pandas blob makes hash(Schema) raise
+            b = b.replace_schema_metadata(None)
+        n = b.num_rows
+        if n == 0:
+            return b
+        t = b.take(pc.sort_indices(b, sort_keys=order))
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in group_keys:
+            a = t[c].to_numpy(zero_copy_only=False)
+            change[1:] |= a[1:] != a[:-1]
+        gstart = np.flatnonzero(change)
+        gid = np.cumsum(change) - 1
+        pos = np.arange(n, dtype=np.int64) - gstart[gid]
+        return t.filter(pa.array(pos < k))
+
+    if mode == "auto":
+        mode = resolve_agg_mode(ds, approx_groups)
+    if mode == "shuffle":
+        from .joins import keyed_repartition, keyed_shuffle_partitions
+        pre = ds.map_batches(local, batch_format="pyarrow",
+                             batch_size=None)
+        return keyed_repartition(pre, keyed_shuffle_partitions(64),
+                                 group_keys).map_batches(
+            local, batch_format="pyarrow", batch_size=None)
 
     cur = ds.map_batches(local, batch_format="pyarrow",
                          batch_size=None).materialize()

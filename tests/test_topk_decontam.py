@@ -13,7 +13,8 @@ import ray.data as rd
 
 from courlan_ray.stages.decontam import (benchmark_gram_hashes,
                                          contamination_counts)
-from courlan_ray.stages.topk import topk_rows
+from courlan_ray.stages.sketch import mg_topk
+from courlan_ray.stages.topk import topk_per_group, topk_rows
 
 
 def _ds(df: pd.DataFrame, blocks: int):
@@ -46,6 +47,67 @@ def test_topk_k_exceeds_rows_and_empty():
     assert got["v"].tolist() == [1, 2]
     empty = topk_rows(_ds(df.iloc[:0], 1), [("v", "ascending")], 3)
     assert empty.count() == 0
+
+
+def _pergroup_truth(df, k=2):
+    r = df.sort_values(["g", "v", "id"],
+                       ascending=[True, False, True]).groupby("g").head(k)
+    return r.sort_values(["g", "v", "id"],
+                         ascending=[True, False, True]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("mode", ["tree", "shuffle"])
+def test_topk_per_group_matches_window_function(mode):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"g": rng.integers(0, 40, 600),
+                       "v": rng.integers(0, 30, 600),
+                       "id": np.arange(600)})
+    got = topk_per_group(_ds(df, 9), ["g"],
+                         [("v", "descending"), ("id", "ascending")], 2,
+                         mode=mode).to_pandas()
+    got = got.sort_values(["g", "v", "id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _pergroup_truth(df))
+
+
+def test_topk_per_group_multiblock_groups_split():
+    """A group scattered across every block still yields its exact global
+    top-k (the associativity the combine tree relies on)."""
+    df = pd.DataFrame({"g": [0] * 50 + [1] * 50,
+                       "v": list(range(50)) + list(range(50)),
+                       "id": range(100)}).sample(frac=1, random_state=3)
+    got = topk_per_group(_ds(df, 10), ["g"],
+                         [("v", "descending"), ("id", "ascending")],
+                         3).to_pandas()
+    top = got.groupby("g")["v"].apply(sorted)
+    assert top[0] == [47, 48, 49] and top[1] == [47, 48, 49]
+
+
+def test_mg_topk_bound_and_recovery():
+    """Misra-Gries: est is a lower bound within n/capacity of truth, and
+    with adequate capacity the exact top-k SET is recovered despite
+    per-block compression across many blocks."""
+    rng = np.random.default_rng(5)
+    # zipf-ish: heavy keys h0..h9 dominate a 500-key light tail
+    heavy = np.repeat([f"h{i}" for i in range(10)], 400)
+    light = np.array([f"t{i}" for i in rng.integers(0, 500, 2000)])
+    vals = np.concatenate([heavy, light])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"k": vals})
+    n = len(df)
+    capacity = 64
+    got = mg_topk(_ds(df, 12), "k", capacity=capacity, k=10).to_pandas()
+    true = df["k"].value_counts()
+    assert set(got["k"]) == {f"h{i}" for i in range(10)}
+    for key, est in zip(got["k"], got["est"]):
+        assert est <= true[key] <= est + n // capacity + 1
+
+
+def test_mg_topk_exact_when_under_capacity():
+    """Below capacity nothing is ever subtracted: estimates are exact."""
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2})
+    got = mg_topk(_ds(df, 3), "k", capacity=16, k=3).to_pandas()
+    assert dict(zip(got["k"], got["est"])) == {"a": 5, "b": 3, "c": 2}
 
 
 _BENCH = ["the quick brown fox jumps over the lazy dog tonight",
