@@ -268,6 +268,55 @@ def doc_decontaminate(sf_dir: str, n: int = 8):
                                 pre=_split(False)).sort("doc_id")
 
 
+def doc_token_postings(sf_dir: str):
+    """Inverted index build: per token, the comma-joined ascending list of
+    documents containing it plus the document frequency — the posting-list
+    aggregation (SQL string_agg / collect_list) via ONE keyed shuffle
+    (stages/agg.grouped_concat).  Full DuckDB oracle
+    (EXTRA_ORACLES['doc_token_postings'])."""
+    from ..functions.textstats import _explode_tokens
+    from ..stages.agg import grouped_concat
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        flat, doc = _explode_tokens(pd.Series(b["text"].to_pylist()))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"token": flat.to_numpy(dtype=object),
+                           "doc_id": ids[doc]}).drop_duplicates()
+        return pa.table({"token": pa.array(df["token"].to_numpy(dtype=object),
+                                           pa.string()),
+                         "doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64())})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+    return grouped_concat(pairs, ["token"], "doc_id", out_col="postings",
+                          count_col="df").sort("token")
+
+
+def doc_quality_band(sf_dir: str):
+    """Quantile-band filter: keep documents whose quality score lies
+    within the global [p05, p95] — outlier trimming composed from the
+    exact distributed quantiles (stages/quantiles) + a broadcast-scalar
+    filter pass.  The narrow (doc_id, quality) projection is materialized
+    once because three passes consume it (two quantile passes + the
+    filter).  Full DuckDB oracle (quantile_disc twin)."""
+    import pyarrow.compute as pc
+
+    from ..stages.quantiles import exact_quantiles
+    dq = (doc_quality(sf_dir).select_columns(["doc_id", "quality"])
+          .materialize())
+    qt = exact_quantiles(dq, "quality", [0.05, 0.95])
+    lo, hi = qt["value"].to_pylist()
+
+    def band(b: pa.Table) -> pa.Table:
+        v = b["quality"]
+        return b.filter(pc.and_(pc.greater_equal(v, lo),
+                                pc.less_equal(v, hi)))
+
+    return dq.map_batches(band, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
+
+
 def events_top3_per_user(sf_dir: str):
     """Exact top-3 events per user by value (the "best N per group"
     operator — SQL's row_number window, computed as per-block segmented
@@ -791,7 +840,7 @@ def _build_extra_oracles() -> dict[str, str]:
     video_001 = (f"/tmp/courlan_ray_synth_video/"
                  f"n{_VIDEO_ROWS['0.01']}-s42/*.parquet")
 
-    return {
+    oracles = {
         "image_dedup_counters": _image_counters_sql(synth_001),
         # REAL WAV decode (Ray side) vs independent RIFF header arithmetic
         # (SQL side): RIFF magic = hex 52494646 at bytes 1-4, WAVE at 9-12;
@@ -1069,7 +1118,28 @@ def _build_extra_oracles() -> dict[str, str]:
         SELECT query_idx, vec_id,
                floor(c * 10000 + 0.5) / 10000 AS cos_sim
         FROM r WHERE rn <= 5""",
+        # inverted index: string_agg is the grouped_concat twin
+        "doc_token_postings": r"""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_extract_all(
+                   lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?')) AS token
+          FROM documents),
+        d AS (SELECT DISTINCT token, doc_id FROM t)
+        SELECT token,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings,
+               CAST(count(*) AS BIGINT) AS df
+        FROM d GROUP BY token ORDER BY token""",
     }
+    # quantile-band filter wraps the doc_quality oracle as a CTE —
+    # quantile_disc is the exact type-1 twin of stages/quantiles
+    oracles["doc_quality_band"] = f"""
+        WITH dq AS ({oracles['doc_quality']}),
+        b AS (SELECT quantile_disc(quality, 0.05) AS lo,
+                     quantile_disc(quality, 0.95) AS hi FROM dq)
+        SELECT doc_id, quality FROM dq, b
+        WHERE quality >= lo AND quality <= hi ORDER BY doc_id"""
+    return oracles
 
 
 EXTRA_ORACLES = _build_extra_oracles()
@@ -1091,6 +1161,8 @@ EXTRAS = {
     "doc_sample_uniform": doc_sample_uniform,
     "doc_decontaminate": doc_decontaminate,
     "events_top3_per_user": events_top3_per_user,
+    "doc_token_postings": doc_token_postings,
+    "doc_quality_band": doc_quality_band,
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,

@@ -119,6 +119,51 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
     return cur
 
 
+def grouped_concat(ds, keys: list[str], col: str, *, sep: str = ",",
+                   out_col: str | None = None, num_partitions: int = 64,
+                   count_col: str | None = None):
+    """Order-sensitive group-concat (SQL ``string_agg(col, sep ORDER BY
+    col)``): one row per key tuple with the ``sep``-joined, ascending-
+    sorted values of ``col`` — the posting-list / collect-list
+    aggregation the {min,max,sum,count} combine tree can't express.
+
+    Topology: value order makes map-side pre-aggregation impossible
+    (partial strings from different blocks interleave), so this is a
+    straight ONE keyed hash-shuffle on ``keys`` + a per-partition
+    vectorized sort + pandas group-join — every key lands wholly in one
+    partition, exchange volume is the (keys, col) projection.  String
+    assembly is inherently object-dtype; everything before it
+    (sort, grouping) is columnar.
+
+    ``count_col``: optionally also emit the per-key value count."""
+    out_col = out_col or f"{col}_list"
+    from .joins import keyed_repartition, keyed_shuffle_partitions
+
+    narrow = ds.select_columns(keys + [col])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:        # typed empty (from_pandas would emit
+            cols = {k: b[k] for k in keys}          # null-type columns)
+            cols[out_col] = pa.array([], pa.string())
+            if count_col is not None:
+                cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        df = b.to_pandas().sort_values(keys + [col])
+        g = df.groupby(keys, sort=True)[col]
+        joined = g.agg(lambda v: sep.join(v.astype(str)))
+        out = joined.reset_index().rename(columns={col: out_col})
+        if count_col is not None:
+            out[count_col] = g.size().reset_index(drop=True).astype("int64")
+        # strip the pandas metadata blob from_pandas attaches — it makes
+        # hash(pa.Schema) raise inside downstream range/hash shuffles
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    parts = keyed_shuffle_partitions(num_partitions)
+    return keyed_repartition(narrow, parts, keys).map_batches(
+        kernel, batch_format="pyarrow", batch_size=None)
+
+
 def grouped_distinct(ds, keys: list[str], **kw):
     """Distinct key tuples via the same combine tree."""
     probe = keys[0]

@@ -103,6 +103,23 @@ def test_mg_topk_bound_and_recovery():
         assert est <= true[key] <= est + n // capacity + 1
 
 
+def test_grouped_concat_matches_string_agg():
+    """grouped_concat == SQL string_agg(col, ',' ORDER BY col) with keys
+    scattered across every block (the one-keyed-shuffle topology)."""
+    from courlan_ray.stages.agg import grouped_concat
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"g": rng.integers(0, 7, 200),
+                       "v": rng.permutation(200)})
+    got = grouped_concat(_ds(df, 8), ["g"], "v", out_col="vals",
+                         count_col="n").to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    want = (df.sort_values(["g", "v"]).groupby("g")["v"]
+              .agg(lambda v: ",".join(v.astype(str))).reset_index()
+              .rename(columns={"v": "vals"}))
+    want["n"] = df.groupby("g")["v"].size().reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_mg_topk_exact_when_under_capacity():
     """Below capacity nothing is ever subtracted: estimates are exact."""
     df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2})
