@@ -100,10 +100,13 @@ def run_bench() -> dict:
 
     from courlan_ray.pipelines.extras import (_AUDIO_ROWS, _VIDEO_ROWS,
                                               audio_dedup_pairs,
+                                              doc_decontaminate,
                                               doc_minhash_clusters,
                                               doc_ngram_jaccard,
                                               doc_substring_pairs,
+                                              doc_top_tokens,
                                               emb_neardup_exact,
+                                              events_top3_per_user,
                                               events_asof_prev_click,
                                               events_rolling_1h,
                                               video_dedup_pairs)
@@ -119,6 +122,9 @@ def run_bench() -> dict:
     for name, fn in (("doc_minhash_clusters", doc_minhash_clusters),
                      ("doc_ngram_jaccard", doc_ngram_jaccard),
                      ("doc_substring_pairs", doc_substring_pairs),
+                     ("doc_decontaminate", doc_decontaminate),
+                     ("doc_top_tokens", doc_top_tokens),
+                     ("events_top3_per_user", events_top3_per_user),
                      ("emb_neardup_exact", emb_neardup_exact),
                      ("events_asof_prev_click", events_asof_prev_click),
                      ("events_rolling_1h", events_rolling_1h),
