@@ -317,6 +317,76 @@ def doc_quality_band(sf_dir: str):
                           batch_size=None).sort("doc_id")
 
 
+def doc_train_split(sf_dir: str):
+    """Deterministic train/val/test assignment (90/5/5) by multiplicative
+    hash of doc_id — the standard training-prep splitter: stateless,
+    rerun/retry-stable, no shuffle, and any worker can compute any row's
+    split independently (the property that matters when 10^12 rows are
+    split across a resumable run).  Full DuckDB oracle (the hash is
+    SQL-expressible; EXTRA_ORACLES['doc_train_split'])."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % \
+            np.uint64(100)
+        split = np.where(bucket < 90, "train",
+                         np.where(bucket < 95, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
+
+
+def doc_top_term(sf_dir: str):
+    """Most distinctive token per document by a log-free tf-idf weight
+    score = tf * N / df (identical float op order on both sides, so the
+    oracle is bit-exact — ln() would be libm-dependent).  Composition:
+    per-block exact tf (a document lives in one row, so per-block
+    group_by is globally exact) -> df via the grouped combine tree ->
+    size-adaptive broadcast join -> per-group top-1
+    (stages/topk.topk_per_group).  Full DuckDB oracle
+    (EXTRA_ORACLES['doc_top_term'])."""
+    from ..functions.textstats import _explode_tokens
+    from ..stages.agg import grouped_agg
+    from ..stages.joins import attach_by_key
+    from ..stages.topk import topk_per_group
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _nrows(sf_dir, "documents")
+
+    def tf_kernel(b: pa.Table) -> pa.Table:
+        flat, doc = _explode_tokens(pd.Series(b["text"].to_pylist()))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"doc_id": ids[doc],
+                            "token": flat.to_numpy(dtype=object)})
+              .groupby(["doc_id", "token"], sort=False).size()
+              .reset_index(name="tf"))
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64()),
+                         "token": pa.array(df["token"].to_numpy(dtype=object),
+                                           pa.string()),
+                         "tf": pa.array(df["tf"].to_numpy(dtype=np.int64))})
+
+    tf = ds.map_batches(tf_kernel, batch_format="pyarrow",
+                        batch_size=None).materialize()
+    df_tbl = grouped_agg(tf, ["token"], [("token", "count", "df")])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        s = (b["tf"].to_numpy(dtype=np.float64) * n_docs) / \
+            b["df"].to_numpy(dtype=np.float64)
+        out = b[["doc_id", "token"]].copy()
+        out["score"] = _round4(s)
+        return out
+
+    scored = attach_by_key(tf, df_tbl, ["token"]).map_batches(
+        score, batch_format="pandas", batch_size=None)
+    return topk_per_group(scored, ["doc_id"],
+                          [("score", "descending"), ("token", "ascending")],
+                          1, approx_groups=n_docs).sort("doc_id")
+
+
 def events_top3_per_user(sf_dir: str):
     """Exact top-3 events per user by value (the "best N per group"
     operator — SQL's row_number window, computed as per-block segmented
@@ -893,6 +963,14 @@ def _build_extra_oracles() -> dict[str, str]:
         SELECT token, CAST(count(*) AS BIGINT) AS n
         FROM t GROUP BY token
         ORDER BY n DESC, token LIMIT 20""",
+        # deterministic split: same multiplicative hash, bucketed mod 100
+        "doc_train_split": """
+        SELECT doc_id,
+               CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                    THEN 'train'
+                    WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""",
         # deterministic hash-min-k sample: same multiplicative hash
         "doc_sample_uniform": """
         SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS priority
@@ -917,6 +995,25 @@ def _build_extra_oracles() -> dict[str, str]:
         SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
         WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
+        # log-free tf-idf: (tf * N) / df in the same float op order
+        "doc_top_term": r"""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_extract_all(
+                   lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM t GROUP BY doc_id, token),
+        df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.token,
+                     floor((tf.tf * n.n) / df.df::double * 10000 + 0.5)
+                       / 10000 AS score
+              FROM tf JOIN df USING (token) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, token) AS rn
+              FROM s)
+        SELECT doc_id, token, score FROM r WHERE rn = 1 ORDER BY doc_id""",
         # per-group top-k: the row_number window twin
         "events_top3_per_user": """
         WITH r AS (
@@ -1159,10 +1256,12 @@ EXTRAS = {
     "doc_top_tokens": doc_top_tokens,
     "doc_top_tokens_approx": doc_top_tokens_approx,
     "doc_sample_uniform": doc_sample_uniform,
+    "doc_train_split": doc_train_split,
     "doc_decontaminate": doc_decontaminate,
     "events_top3_per_user": events_top3_per_user,
     "doc_token_postings": doc_token_postings,
     "doc_quality_band": doc_quality_band,
+    "doc_top_term": doc_top_term,
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,
