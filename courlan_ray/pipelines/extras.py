@@ -387,6 +387,36 @@ def doc_top_term(sf_dir: str):
                           1, approx_groups=n_docs).sort("doc_id")
 
 
+def doc_pack_assign(sf_dir: str, budget: int = 512):
+    """Sequence packing: assign documents (in doc_id order) to fixed
+    token-budget training packs by bucketing the exclusive running token
+    total — pack_id = floor(tokens_before / budget), the streaming
+    bucket-fill strategy whose global scan is the distributed ordered
+    prefix sum (stages/scan.ordered_prefix_sum: per-block partials, O(
+    blocks) driver offsets, second streaming pass — NO shuffle).  Full
+    DuckDB oracle (window SUM ... ROWS UNBOUNDED PRECEDING twin)."""
+    from ..functions.textstats import token_counts
+    from ..stages.scan import ordered_prefix_sum
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(token_counts(
+                             b["text"].to_pylist(), "whitespace"))})
+
+    toks = ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+    run = ordered_prefix_sum(toks, "doc_id", "n_tokens",
+                             out_col="prior", inclusive=False)
+
+    def packs(b: pa.Table) -> pa.Table:
+        pid = b["prior"].to_numpy() // budget
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": b["n_tokens"],
+                         "pack_id": pa.array(pid.astype(np.int64))})
+
+    return run.map_batches(packs, batch_format="pyarrow",
+                           batch_size=None).sort("doc_id")
+
+
 def events_top3_per_user(sf_dir: str):
     """Exact top-3 events per user by value (the "best N per group"
     operator — SQL's row_number window, computed as per-block segmented
@@ -995,6 +1025,22 @@ def _build_extra_oracles() -> dict[str, str]:
         SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
         WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
+        # sequence packing: exclusive running-sum bucket twin
+        "doc_pack_assign": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prior
+          FROM t)
+        SELECT doc_id, n_tokens, CAST(prior // 512 AS BIGINT) AS pack_id
+        FROM s ORDER BY doc_id""",
         # log-free tf-idf: (tf * N) / df in the same float op order
         "doc_top_term": r"""
         WITH t AS (
@@ -1262,6 +1308,7 @@ EXTRAS = {
     "doc_token_postings": doc_token_postings,
     "doc_quality_band": doc_quality_band,
     "doc_top_term": doc_top_term,
+    "doc_pack_assign": doc_pack_assign,
     "events_asof_prev_click": events_asof_prev_click,
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,

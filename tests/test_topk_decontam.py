@@ -103,6 +103,32 @@ def test_mg_topk_bound_and_recovery():
         assert est <= true[key] <= est + n // capacity + 1
 
 
+def test_ordered_prefix_sum_matches_window():
+    """Distributed scan == SUM OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING), inclusive and exclusive, across range-disjoint blocks."""
+    from courlan_ray.stages.scan import ordered_prefix_sum
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"id": np.arange(300),
+                       "v": rng.integers(0, 9, 300)})
+    ds = rd.from_pandas(df).repartition(7)   # contiguous id ranges
+    inc = ordered_prefix_sum(ds, "id", "v").to_pandas().sort_values("id")
+    assert (inc["running_sum"].to_numpy()
+            == df["v"].cumsum().to_numpy()).all()
+    exc = ordered_prefix_sum(ds, "id", "v",
+                             inclusive=False).to_pandas().sort_values("id")
+    assert (exc["running_sum"].to_numpy()
+            == (df["v"].cumsum() - df["v"]).to_numpy()).all()
+
+
+def test_ordered_prefix_sum_rejects_overlapping_blocks():
+    from courlan_ray.stages.scan import ordered_prefix_sum
+    df = pd.DataFrame({"id": [0, 2, 1, 3], "v": [1, 1, 1, 1]})
+    # two blocks with interleaved id ranges: [0,2] and [1,3]
+    ds = rd.from_pandas(df).repartition(2)
+    with pytest.raises(ValueError, match="overlap"):
+        ordered_prefix_sum(ds, "id", "v")
+
+
 def test_grouped_concat_matches_string_agg():
     """grouped_concat == SQL string_agg(col, ',' ORDER BY col) with keys
     scattered across every block (the one-keyed-shuffle topology)."""
