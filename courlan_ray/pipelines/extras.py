@@ -677,14 +677,19 @@ def doc_training_prep(sf_dir: str):
     """END-TO-END training-data prep over documents — the composition a
     real corpus pipeline runs, chained from the engine's own stages:
 
-      language/quality gates -> text near-dup clustering (MinHash-LSH +
-      fingerprints, pipelines/text_dedup.py) -> one representative per
-      cluster -> token stats on the survivors.
+      language/quality gates -> benchmark decontamination (docs sharing a
+      word-8-gram with the held-out doc_id%50==0 slice dropped, benchmark
+      docs excluded; stages/decontam.py) -> text near-dup clustering
+      (MinHash-LSH + fingerprints, pipelines/text_dedup.py) -> one
+      representative per cluster -> deterministic train/val/test split ->
+      token stats on the survivors.
 
-    Output: one row per KEPT doc (cluster representative passing gates)
-    with lang_pred, quality, n_tokens, cluster_size.  Deterministic;
-    rows-only driver check (clustering is not SQL-expressible)."""
+    Output: one row per KEPT doc (clean cluster representative passing
+    gates) with lang_pred, quality, n_tokens, cluster_size, split.
+    Deterministic; rows-only driver check (clustering is not
+    SQL-expressible)."""
     from ..functions.textstats import detect_language, quality_scores
+    from ..stages.decontam import benchmark_gram_hashes, decontaminated
     from .text_dedup import text_dedup_pipeline
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -702,7 +707,17 @@ def doc_training_prep(sf_dir: str):
         })
         return t.filter(pa.array(keep))
 
-    gated = ds.map_batches(gate, batch_format="pyarrow").materialize()
+    def _half(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 50) == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+        return f
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    grams = benchmark_gram_hashes(ds, "text", n=8, seed=41,
+                                  pre=_half(True))
+    gated = decontaminated(gated, grams, "text", n=8, seed=41,
+                           pre=_half(False)).materialize()
     out = text_dedup_pipeline(gated.select_columns(["doc_id", "text"]),
                               DedupConfig())
     reps = (out["clusters"]
@@ -717,7 +732,19 @@ def doc_training_prep(sf_dir: str):
     keyed = gated.drop_columns(["text"]).map_batches(add_key,
                                                      batch_format="pyarrow")
     joined = attach_by_key(keyed, reps, ["image_id"])   # inner: reps only
-    return joined.drop_columns(["image_id"]).sort("doc_id")
+
+    def add_split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % \
+            np.uint64(100)
+        split = np.where(bucket < 90, "train",
+                         np.where(bucket < 95, "val", "test"))
+        return b.append_column("split", pa.array(split.astype(object),
+                                                 pa.string()))
+
+    return (joined.drop_columns(["image_id"])
+            .map_batches(add_split, batch_format="pyarrow",
+                         batch_size=None).sort("doc_id"))
 
 
 _IMG_MEMO: dict[str, dict] = {}

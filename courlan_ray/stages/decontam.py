@@ -97,3 +97,35 @@ def contamination_counts(ds, bench_grams: np.ndarray, id_col: str,
                          "n_hits": pa.array(hits.astype(np.int64))})
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+def decontaminated(ds, bench_grams: np.ndarray, text_col: str, *,
+                   n: int = 8, seed: int = 41, pre=None):
+    """Filter form: keep only rows sharing NO n-gram with the benchmark
+    set — the same broadcast membership probe as ``contamination_counts``
+    but filtering in place (one streaming pass, no join back), which is
+    the right shape when the hit counts themselves aren't needed."""
+    import ray
+
+    from .joins import cached_get
+    from .ngram_jaccard import _gram_sets
+
+    grams_ref = ray.put(np.ascontiguousarray(bench_grams))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if pre is not None:
+            b = pre(b)
+        bench = cached_get(grams_ref)
+        if b.num_rows == 0 or bench.size == 0:
+            return b
+        flat, cnt = _gram_sets(b[text_col].to_pylist(), n, seed)
+        if flat.size == 0:
+            return b
+        pos = np.searchsorted(bench, flat)
+        pos[pos == bench.size] = 0
+        hit = bench[pos] == flat
+        seg = np.repeat(np.arange(b.num_rows, dtype=np.int64), cnt)
+        hits = np.bincount(seg[hit], minlength=b.num_rows)
+        return b.filter(pa.array(hits == 0))
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)

@@ -190,6 +190,28 @@ def test_decontamination_empty_benchmark():
     assert (out["n_hits"] == 0).all()
 
 
+def test_training_prep_decontaminates_and_splits():
+    """The end-to-end composition excludes the benchmark slice, keeps no
+    contaminated doc, and stamps a valid deterministic split."""
+    from courlan_ray.pipelines.extras import _read, doc_training_prep
+    from courlan_ray.stages.decontam import (benchmark_gram_hashes,
+                                             contamination_counts)
+    sf = "/root/testdata/sf0.001"
+    out = doc_training_prep(sf).to_pandas()
+    assert len(out) > 0
+    assert (out["doc_id"] % 50 != 0).all()          # benchmark excluded
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # every kept doc has zero benchmark-gram hits
+    ds = _read(sf, "documents", ["doc_id", "text"])
+    is_b = lambda b: b.filter(pa.array(
+        (b["doc_id"].to_numpy(zero_copy_only=False) % 50) == 0))
+    grams = benchmark_gram_hashes(ds, "text", n=8, seed=41, pre=is_b)
+    hits = contamination_counts(ds, grams, "doc_id", "text",
+                                n=8, seed=41).to_pandas()
+    contaminated = set(hits.loc[hits["n_hits"] > 0, "doc_id"])
+    assert not (set(out["doc_id"]) & contaminated)
+
+
 def test_decontamination_pre_filter_fused():
     """The pre-filter hook splits benchmark/probe inside one kernel."""
     df = pd.DataFrame({"doc_id": [0, 1],
