@@ -66,6 +66,21 @@ def _silence_schema_hash_noise() -> None:
     logging.getLogger(
         "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_F())
 
+    # Executor-side sibling: a map stage downstream of a keyed hash
+    # shuffle passes EMPTY partitions through without invoking the UDF,
+    # producing schema-less RefBundles next to the kernel's typed ones.
+    # Expected whenever distinct keys < shuffle partitions (grouped
+    # quantiles/concat over a handful of groups); the bundles are
+    # genuinely empty, not a schema bug.
+    class _B(logging.Filter):
+        def filter(self, record):   # pragma: no cover - log plumbing
+            return ("RefBundle with a different schema"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_B())
+
 
 _silence_schema_hash_noise()
 

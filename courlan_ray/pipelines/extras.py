@@ -417,6 +417,17 @@ def doc_pack_assign(sf_dir: str, budget: int = 512):
                            batch_size=None).sort("doc_id")
 
 
+def events_value_quantiles_by_type(sf_dir: str):
+    """Exact per-group quantiles (p25/p50/p75 of value per event type) —
+    one keyed shuffle + vectorized group-offset rank selection
+    (stages/quantiles.grouped_quantiles).  Full DuckDB oracle (grouped
+    quantile_disc twin)."""
+    from ..stages.quantiles import grouped_quantiles
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ds, ["event_type"], "value",
+                             [0.25, 0.5, 0.75]).sort(["event_type", "q"])
+
+
 def events_top3_per_user(sf_dir: str):
     """Exact top-3 events per user by value (the "best N per group"
     operator — SQL's row_number window, computed as per-block segmented
@@ -1087,6 +1098,17 @@ def _build_extra_oracles() -> dict[str, str]:
                                            ORDER BY score DESC, token) AS rn
               FROM s)
         SELECT doc_id, token, score FROM r WHERE rn = 1 ORDER BY doc_id""",
+        # grouped quantiles: per-group quantile_disc twin
+        "events_value_quantiles_by_type": """
+        SELECT event_type, 0.25 AS q, quantile_disc(value, 0.25) AS value
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 0.5, quantile_disc(value, 0.5)
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 0.75, quantile_disc(value, 0.75)
+        FROM events GROUP BY event_type
+        ORDER BY event_type, q""",
         # per-group top-k: the row_number window twin
         "events_top3_per_user": """
         WITH r AS (
@@ -1332,6 +1354,7 @@ EXTRAS = {
     "doc_train_split": doc_train_split,
     "doc_decontaminate": doc_decontaminate,
     "events_top3_per_user": events_top3_per_user,
+    "events_value_quantiles_by_type": events_value_quantiles_by_type,
     "doc_token_postings": doc_token_postings,
     "doc_quality_band": doc_quality_band,
     "doc_top_term": doc_top_term,

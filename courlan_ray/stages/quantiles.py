@@ -99,3 +99,56 @@ def exact_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096):
         out_vals.append(float(cand[before + (r - base[bi])]))
     return pa.table({"q": pa.array(list(map(float, qs)), pa.float64()),
                      "value": pa.array(out_vals, pa.float64())})
+
+
+def grouped_quantiles(ds, keys: list[str], col: str, qs: list[float], *,
+                      num_partitions: int = 64):
+    """Exact per-GROUP quantiles (type-1 / ``quantile_disc`` semantics):
+    ONE keyed hash-shuffle on ``keys`` + a per-partition vectorized kernel
+    (group-major sort, then rank selection on group offset arrays — no
+    per-group Python loop).  Every key lands wholly in one partition, so
+    it is exact at any group count; a single group must fit one partition
+    (the usual keyed-shuffle contract — for one giant group use the
+    global ``exact_quantiles`` histogram plan instead).
+
+    Returns keys + (q:float64, value:float64), one row per group per q."""
+    import pyarrow.compute as pc
+
+    from .joins import keyed_repartition, keyed_shuffle_partitions
+
+    narrow = ds.select_columns(keys + [col])
+    qarr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if b.schema.metadata:
+            b = b.replace_schema_metadata(None)
+        if b.num_rows == 0:
+            cols = {k: b[k] for k in keys}
+            cols["q"] = pa.array([], pa.float64())
+            cols["value"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        order = [(k, "ascending") for k in keys] + [(col, "ascending")]
+        t = b.take(pc.sort_indices(b, sort_keys=order))
+        n = t.num_rows
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            a = t[k].to_numpy(zero_copy_only=False)
+            change[1:] |= a[1:] != a[:-1]
+        gstart = np.flatnonzero(change)
+        sizes = np.diff(np.append(gstart, n))
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # 0-based rank per (group, q): ceil(q*size) - 1, clipped into the
+        # group — same formula as exact_quantiles / quantile_disc
+        ranks = np.clip(np.ceil(qarr[None, :] * sizes[:, None])
+                        .astype(np.int64) - 1, 0, (sizes - 1)[:, None])
+        sel = (gstart[:, None] + ranks).ravel()
+        head = t.take(pa.array(np.repeat(gstart, qarr.size), pa.int64()))
+        cols = {k: head[k] for k in keys}
+        cols["q"] = pa.array(np.tile(qarr, gstart.size), pa.float64())
+        cols["value"] = pa.array(v[sel], pa.float64())
+        return pa.table(cols)
+
+    parts = keyed_shuffle_partitions(num_partitions)
+    return keyed_repartition(narrow, parts, keys).map_batches(
+        kernel, batch_format="pyarrow", batch_size=None)

@@ -129,6 +129,24 @@ def test_ordered_prefix_sum_rejects_overlapping_blocks():
         ordered_prefix_sum(ds, "id", "v")
 
 
+def test_grouped_quantiles_type1_parity():
+    """Per-group exact quantiles match the type-1 (quantile_disc) order
+    statistic computed directly, incl. the q=0 and q=1 edges, with groups
+    scattered across blocks."""
+    from courlan_ray.stages.quantiles import grouped_quantiles
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 9, 400),
+                       "v": rng.standard_normal(400)})
+    got = grouped_quantiles(_ds(df, 6), ["g"], "v",
+                            [0.0, 0.5, 1.0]).to_pandas()
+    got = got.set_index(["g", "q"])["value"]
+    for g, sub in df.groupby("g"):
+        s = np.sort(sub["v"].to_numpy())
+        for q in (0.0, 0.5, 1.0):
+            want = s[max(int(np.ceil(q * s.size)) - 1, 0)]
+            assert got.loc[(g, q)] == want
+
+
 def test_grouped_concat_matches_string_agg():
     """grouped_concat == SQL string_agg(col, ',' ORDER BY col) with keys
     scattered across every block (the one-keyed-shuffle topology)."""
