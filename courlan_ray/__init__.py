@@ -74,8 +74,14 @@ def _silence_schema_hash_noise() -> None:
     # genuinely empty, not a schema bug.
     class _B(logging.Filter):
         def filter(self, record):   # pragma: no cover - log plumbing
-            return ("RefBundle with a different schema"
-                    not in record.getMessage())
+            msg = record.getMessage()
+            if "RefBundle with a different schema" not in msg:
+                return True
+            # suppress ONLY when one side is the EMPTY schema (renders
+            # as nothing before the delimiter) — a genuine mismatch
+            # between two non-empty schemas must stay visible
+            return not ("new schema: ." in msg
+                        or "Previous schema: ," in msg)
 
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"

@@ -50,6 +50,33 @@ def _nrows(sf_dir: str, name: str) -> int:
     return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
 
 
+def _hash_priority(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash ((id * 2654435761) % 2^32) — the ONE
+    SQL-expressible hash shared by the sampling/split pipelines AND their
+    DuckDB oracle twins (which hardcode the same constants); changing it
+    means changing every oracle in lockstep."""
+    u = ids.astype(np.uint64)
+    return (u * np.uint64(2654435761)) % np.uint64(1 << 32)
+
+
+def _split_labels(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 90/5/5 train/val/test labels from _hash_priority."""
+    bucket = _hash_priority(ids) % np.uint64(100)
+    return np.where(bucket < 90, "train",
+                    np.where(bucket < 95, "val", "test")).astype(object)
+
+
+def _bench_slice(is_bench: bool):
+    """Per-block filter selecting (or excluding) the held-out benchmark
+    slice doc_id % 50 == 0 — shared by doc_decontaminate and
+    doc_training_prep so the slice definition cannot drift from the
+    decontamination oracle's WHERE doc_id % 50 = 0."""
+    def f(b: pa.Table) -> pa.Table:
+        m = (b["doc_id"].to_numpy(zero_copy_only=False) % 50) == 0
+        return b.filter(pa.array(m if is_bench else ~m))
+    return f
+
+
 def doc_minhash_clusters(sf_dir: str):
     """Full text near-dup pipeline over documents."""
     from .text_dedup import text_dedup_pipeline
@@ -195,14 +222,17 @@ def doc_substring_lcs(sf_dir: str):
     return substring_lcs(ds, width=32, seed=37)
 
 
-def doc_top_tokens(sf_dir: str, k: int = 20):
+def doc_top_tokens(sf_dir: str, k: int = 20,
+                   vocab_hint: int | None = None):
     """Exact global top-k most frequent tokens (vocabulary heavy hitters):
     per-block partial counts -> grouped combine tree -> distributed top-k
     (stages/topk.py) — never a global sort, never a full-vocab driver
     collect.  Full DuckDB oracle (EXTRA_ORACLES['doc_top_tokens']).  At
-    10^9+-token vocab scale callers declare the cardinality so the count
-    routes through the keyed shuffle (grouped_agg's declared-cardinality
-    contract)."""
+    10^9+-token vocab scale callers MUST pass ``vocab_hint`` (any upper
+    bound on distinct tokens) so grouped_agg's declared-cardinality
+    contract routes the count through the keyed shuffle instead of the
+    tree (unset -> tree, the right default at corpus-benchmark scale;
+    the truly-unbounded alternative is the mg_topk sketch)."""
     from ..functions.textstats import _explode_tokens
     from ..stages.agg import grouped_agg
     from ..stages.topk import topk_rows
@@ -219,7 +249,8 @@ def doc_top_tokens(sf_dir: str, k: int = 20):
 
     tot = grouped_agg(ds.map_batches(counts, batch_format="pyarrow",
                                      batch_size=None),
-                      ["token"], [("n", "sum", "n")])
+                      ["token"], [("n", "sum", "n")],
+                      approx_count=vocab_hint)
     return topk_rows(tot, [("n", "descending"), ("token", "ascending")], k)
 
 
@@ -235,8 +266,7 @@ def doc_sample_uniform(sf_dir: str, k: int = 50):
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def prio(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        p = _hash_priority(b["doc_id"].to_numpy(zero_copy_only=False))
         return pa.table({"doc_id": b["doc_id"],
                          "priority": pa.array(p.astype(np.int64))})
 
@@ -255,17 +285,10 @@ def doc_decontaminate(sf_dir: str, n: int = 8):
     from ..stages.decontam import (benchmark_gram_hashes,
                                    contamination_counts)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def _split(is_bench: bool):
-        def f(b: pa.Table) -> pa.Table:
-            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 50) == 0
-            return b.filter(pa.array(m if is_bench else ~m))
-        return f
-
     grams = benchmark_gram_hashes(ds, "text", n=n, seed=41,
-                                  pre=_split(True))
+                                  pre=_bench_slice(True))
     return contamination_counts(ds, grams, "doc_id", "text", n=n, seed=41,
-                                pre=_split(False)).sort("doc_id")
+                                pre=_bench_slice(False)).sort("doc_id")
 
 
 def doc_token_postings(sf_dir: str):
@@ -327,14 +350,9 @@ def doc_train_split(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def assign(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % \
-            np.uint64(100)
-        split = np.where(bucket < 90, "train",
-                         np.where(bucket < 95, "val", "test"))
+        split = _split_labels(b["doc_id"].to_numpy(zero_copy_only=False))
         return pa.table({"doc_id": b["doc_id"],
-                         "split": pa.array(split.astype(object),
-                                           pa.string())})
+                         "split": pa.array(split, pa.string())})
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           batch_size=None).sort("doc_id")
@@ -718,17 +736,11 @@ def doc_training_prep(sf_dir: str):
         })
         return t.filter(pa.array(keep))
 
-    def _half(is_bench: bool):
-        def f(b: pa.Table) -> pa.Table:
-            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 50) == 0
-            return b.filter(pa.array(m if is_bench else ~m))
-        return f
-
     gated = ds.map_batches(gate, batch_format="pyarrow")
     grams = benchmark_gram_hashes(ds, "text", n=8, seed=41,
-                                  pre=_half(True))
+                                  pre=_bench_slice(True))
     gated = decontaminated(gated, grams, "text", n=8, seed=41,
-                           pre=_half(False)).materialize()
+                           pre=_bench_slice(False)).materialize()
     out = text_dedup_pipeline(gated.select_columns(["doc_id", "text"]),
                               DedupConfig())
     reps = (out["clusters"]
@@ -745,13 +757,8 @@ def doc_training_prep(sf_dir: str):
     joined = attach_by_key(keyed, reps, ["image_id"])   # inner: reps only
 
     def add_split(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % \
-            np.uint64(100)
-        split = np.where(bucket < 90, "train",
-                         np.where(bucket < 95, "val", "test"))
-        return b.append_column("split", pa.array(split.astype(object),
-                                                 pa.string()))
+        split = _split_labels(b["doc_id"].to_numpy(zero_copy_only=False))
+        return b.append_column("split", pa.array(split, pa.string()))
 
     return (joined.drop_columns(["image_id"])
             .map_batches(add_split, batch_format="pyarrow",

@@ -29,6 +29,23 @@ TREE_MAX_GROUPS = 20_000_000
 _MERGE_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
 
 
+def combine_tree(ds, merge, *, first=None, fanout: int = 8):
+    """Fanout-to-1 tree reduction shared by every associative partial/
+    combine stage (grouped aggs, top-k, sketches): apply ``first`` (or
+    ``merge``) per input block, then repeatedly coalesce blocks
+    fanout-to-1 (``repartition`` without shuffle moves no rows) and
+    re-apply ``merge`` until ONE block remains.  ``merge`` must be
+    associative and idempotent on its own output."""
+    cur = ds.map_batches(first or merge, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    while cur.num_blocks() > 1:
+        target = max(1, cur.num_blocks() // fanout)
+        cur = (cur.repartition(target)
+                  .map_batches(merge, batch_format="pyarrow",
+                               batch_size=None).materialize())
+    return cur
+
+
 def resolve_agg_mode(ds, approx_count: int | None,
                      tree_max_groups: int = TREE_MAX_GROUPS) -> str:
     """Tree vs shuffle routing for ``mode="auto"`` (the declared-cardinality
@@ -109,14 +126,7 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str, str]], *,
         return keyed_repartition(pre, parts, keys).map_batches(
             combine, batch_format="pyarrow", batch_size=None)
 
-    cur = ds.map_batches(partial, batch_format="pyarrow",
-                         batch_size=None).materialize()
-    while cur.num_blocks() > 1:
-        target = max(1, cur.num_blocks() // fanout)
-        cur = (cur.repartition(target)
-                  .map_batches(combine, batch_format="pyarrow",
-                               batch_size=None).materialize())
-    return cur
+    return combine_tree(ds, combine, first=partial, fanout=fanout)
 
 
 def grouped_concat(ds, keys: list[str], col: str, *, sep: str = ",",
@@ -135,13 +145,21 @@ def grouped_concat(ds, keys: list[str], col: str, *, sep: str = ",",
     assembly is inherently object-dtype; everything before it
     (sort, grouping) is columnar.
 
-    ``count_col``: optionally also emit the per-key value count."""
+    ``count_col``: optionally also emit the per-key value count.
+
+    NULL values of ``col`` are skipped, matching ``string_agg`` /
+    ``count(col)``; a group whose values are all NULL is omitted (SQL
+    would emit it with a NULL aggregate — only-null groups needing
+    presence should pre-fill a sentinel)."""
+    import pyarrow.compute as pc
+
     out_col = out_col or f"{col}_list"
     from .joins import keyed_repartition, keyed_shuffle_partitions
 
     narrow = ds.select_columns(keys + [col])
 
     def kernel(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[col]))
         if b.num_rows == 0:        # typed empty (from_pandas would emit
             cols = {k: b[k] for k in keys}          # null-type columns)
             cols[out_col] = pa.array([], pa.string())
@@ -198,11 +216,4 @@ def distinct_by_key(ds, key: str, *, approx_count: int | None = None,
                                  [key]).map_batches(
             uniq, batch_format="pyarrow", batch_size=None)
 
-    cur = ds.map_batches(uniq, batch_format="pyarrow",
-                         batch_size=None).materialize()
-    while cur.num_blocks() > 1:
-        target = max(1, cur.num_blocks() // fanout)
-        cur = (cur.repartition(target)
-                  .map_batches(uniq, batch_format="pyarrow",
-                               batch_size=None).materialize())
-    return cur
+    return combine_tree(ds, uniq, fanout=fanout)

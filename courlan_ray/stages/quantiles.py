@@ -111,6 +111,11 @@ def grouped_quantiles(ds, keys: list[str], col: str, qs: list[float], *,
     (the usual keyed-shuffle contract — for one giant group use the
     global ``exact_quantiles`` histogram plan instead).
 
+    NULL values are ignored within each group and an all-NULL group
+    yields NULL values — exactly SQL's aggregate-null semantics, so the
+    quantile_disc twin holds on null-bearing columns too (NaN, like in
+    DuckDB, is an ordinary largest-sorting double, not a null).
+
     Returns keys + (q:float64, value:float64), one row per group per q."""
     import pyarrow.compute as pc
 
@@ -128,6 +133,8 @@ def grouped_quantiles(ds, keys: list[str], col: str, qs: list[float], *,
             cols["value"] = pa.array([], pa.float64())
             return pa.table(cols)
         order = [(k, "ascending") for k in keys] + [(col, "ascending")]
+        # nulls sort to the END of each group (pyarrow default), so the
+        # valid prefix of a group is contiguous and ranks select over it
         t = b.take(pc.sort_indices(b, sort_keys=order))
         n = t.num_rows
         change = np.zeros(n, dtype=bool)
@@ -137,16 +144,26 @@ def grouped_quantiles(ds, keys: list[str], col: str, qs: list[float], *,
             change[1:] |= a[1:] != a[:-1]
         gstart = np.flatnonzero(change)
         sizes = np.diff(np.append(gstart, n))
+        gid = np.cumsum(change) - 1
+        valid = ~pc.is_null(t[col]).to_numpy(zero_copy_only=False)
+        n_valid = np.bincount(gid[valid], minlength=gstart.size)
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        # 0-based rank per (group, q): ceil(q*size) - 1, clipped into the
-        # group — same formula as exact_quantiles / quantile_disc
-        ranks = np.clip(np.ceil(qarr[None, :] * sizes[:, None])
-                        .astype(np.int64) - 1, 0, (sizes - 1)[:, None])
+        # 0-based rank per (group, q) over the group's NON-NULL prefix:
+        # ceil(q*n_valid) - 1, clipped — same formula as exact_quantiles /
+        # quantile_disc (aggregates ignore nulls)
+        ranks = np.clip(np.ceil(qarr[None, :] * n_valid[:, None])
+                        .astype(np.int64) - 1, 0,
+                        np.maximum(n_valid - 1, 0)[:, None])
         sel = (gstart[:, None] + ranks).ravel()
+        vals = v[sel]
+        # all-NULL groups -> NULL output (mask, NOT NaN: a genuine NaN
+        # data value selected by rank must stay NaN, as in DuckDB)
+        null_out = np.repeat(n_valid == 0, qarr.size)
         head = t.take(pa.array(np.repeat(gstart, qarr.size), pa.int64()))
         cols = {k: head[k] for k in keys}
         cols["q"] = pa.array(np.tile(qarr, gstart.size), pa.float64())
-        cols["value"] = pa.array(v[sel], pa.float64())
+        cols["value"] = pa.array(vals, pa.float64(),
+                                 mask=null_out if null_out.any() else None)
         return pa.table(cols)
 
     parts = keyed_shuffle_partitions(num_partitions)

@@ -120,13 +120,8 @@ def mg_topk(ds, col: str, *, capacity: int = 256, k: int = 20,
         agg = b.group_by([col]).aggregate([("est", "sum")])
         return _compress(pa.table({col: agg[col], "est": agg["est_sum"]}))
 
-    cur = ds.map_batches(partial, batch_format="pyarrow",
-                         batch_size=None).materialize()
-    while cur.num_blocks() > 1:
-        target = max(1, cur.num_blocks() // fanout)
-        cur = (cur.repartition(target)
-                  .map_batches(combine, batch_format="pyarrow",
-                               batch_size=None).materialize())
+    from .agg import combine_tree
+    cur = combine_tree(ds, combine, first=partial, fanout=fanout)
 
     def head(b: pa.Table) -> pa.Table:
         idx = pc.sort_indices(b, sort_keys=[("est", "descending"),

@@ -38,14 +38,8 @@ def topk_rows(ds, sort_keys: list[tuple[str, str]], k: int, *,
         idx = pc.sort_indices(b, sort_keys=order)
         return b.take(idx.slice(0, k))
 
-    cur = ds.map_batches(local, batch_format="pyarrow",
-                         batch_size=None).materialize()
-    while cur.num_blocks() > 1:
-        target = max(1, cur.num_blocks() // fanout)
-        cur = (cur.repartition(target)
-                  .map_batches(local, batch_format="pyarrow",
-                               batch_size=None).materialize())
-    return cur
+    from .agg import combine_tree
+    return combine_tree(ds, local, fanout=fanout)
 
 
 def topk_per_group(ds, group_keys: list[str],
@@ -98,11 +92,5 @@ def topk_per_group(ds, group_keys: list[str],
                                  group_keys).map_batches(
             local, batch_format="pyarrow", batch_size=None)
 
-    cur = ds.map_batches(local, batch_format="pyarrow",
-                         batch_size=None).materialize()
-    while cur.num_blocks() > 1:
-        target = max(1, cur.num_blocks() // fanout)
-        cur = (cur.repartition(target)
-                  .map_batches(local, batch_format="pyarrow",
-                               batch_size=None).materialize())
-    return cur
+    from .agg import combine_tree
+    return combine_tree(ds, local, fanout=fanout)

@@ -147,6 +147,30 @@ def test_grouped_quantiles_type1_parity():
             assert got.loc[(g, q)] == want
 
 
+def test_grouped_quantiles_null_semantics():
+    """NULL values are ignored within a group (quantile_disc semantics)
+    and an all-NULL group yields NULL — the review-caught divergence."""
+    from courlan_ray.stages.quantiles import grouped_quantiles
+    df = pd.DataFrame({"g": [0, 0, 0, 0, 0, 1, 1],
+                       "v": [1.0, 2.0, 3.0, 4.0, None, None, None]})
+    got = grouped_quantiles(_ds(df, 3), ["g"], "v",
+                            [0.5, 1.0]).to_pandas()
+    got = got.set_index(["g", "q"])["value"]
+    assert got.loc[(0, 0.5)] == 2.0 and got.loc[(0, 1.0)] == 4.0
+    assert pd.isna(got.loc[(1, 0.5)]) and pd.isna(got.loc[(1, 1.0)])
+
+
+def test_grouped_concat_skips_nulls():
+    """NULL col values are skipped (string_agg semantics); an all-null
+    group is omitted."""
+    from courlan_ray.stages.agg import grouped_concat
+    df = pd.DataFrame({"g": [0, 0, 0, 1], "v": [2.0, None, 1.0, None]})
+    got = grouped_concat(_ds(df, 2), ["g"], "v", out_col="vals",
+                         count_col="n").to_pandas()
+    assert got["g"].tolist() == [0]
+    assert got["vals"].iloc[0] == "1.0,2.0" and got["n"].iloc[0] == 2
+
+
 def test_grouped_concat_matches_string_agg():
     """grouped_concat == SQL string_agg(col, ',' ORDER BY col) with keys
     scattered across every block (the one-keyed-shuffle topology)."""
