@@ -40,7 +40,10 @@ def _sf_of(sf_dir: str) -> str:
 
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+    from ..stages.joins import strip_metadata
+    return strip_metadata(
+        rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns))
 
 
 def _nrows(sf_dir: str, name: str) -> int:
