@@ -449,6 +449,18 @@ def events_value_quantiles_by_type(sf_dir: str):
                              [0.25, 0.5, 0.75]).sort(["event_type", "q"])
 
 
+def events_hll_users_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users (grouped HLL sketch,
+    stages/sketch.hll_distinct_by_key) — the constant-exchange companion
+    to the exact events_distinct_types.  Rows-only driver check
+    (estimates aren't SQL-reproducible); accuracy vs exact distinct is
+    pinned in tests/test_topk_decontam.py."""
+    from ..stages.sketch import hll_distinct_by_key
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct_by_key(ds, "event_type",
+                               "user_id").sort("event_type")
+
+
 def events_top3_per_user(sf_dir: str):
     """Exact top-3 events per user by value (the "best N per group"
     operator — SQL's row_number window, computed as per-block segmented
@@ -1365,6 +1377,7 @@ EXTRAS = {
     "doc_decontaminate": doc_decontaminate,
     "events_top3_per_user": events_top3_per_user,
     "events_value_quantiles_by_type": events_value_quantiles_by_type,
+    "events_hll_users_by_type": events_hll_users_by_type,
     "doc_token_postings": doc_token_postings,
     "doc_quality_band": doc_quality_band,
     "doc_top_term": doc_top_term,

@@ -80,6 +80,69 @@ def hll_distinct(ds, col: str, *, p: int = 12, seed: int = 17) -> float:
     return _estimate(regs)
 
 
+def hll_distinct_by_key(ds, key: str, col: str, *, p: int = 12,
+                        seed: int = 17, fanout: int = 8):
+    """Per-KEY approximate COUNT(DISTINCT col): one 2^p-byte HLL register
+    row per key per block, merged by (key, elementwise max) through the
+    combine tree — exchange volume is keys x 2^p bytes per block,
+    independent of row count, and the idempotent max-merge stays
+    retry-safe.  Returns (key, approx_distinct:float64).
+
+    The sketch companion to the exact map-side-dedup plan
+    (``extras.events_distinct_types``) for key spaces where exact
+    per-group dedup no longer fits."""
+    from .agg import combine_tree
+
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks, regs = [], []
+        if b.num_rows:
+            kv = b[key].to_numpy(zero_copy_only=False)
+            vv = np.asarray(b[col].to_pylist(), dtype=object)
+            order = np.argsort(kv, kind="stable")
+            kv, vv = kv[order], vv[order]
+            change = np.ones(kv.size, dtype=bool)
+            change[1:] = kv[1:] != kv[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], kv.size)
+            for s, e in zip(starts, ends):    # one iteration per KEY GROUP
+                ks.append(kv[s])              # (not per row; bounded by
+                regs.append(_registers(vv[s:e], p, seed)  # keys per block)
+                            .tobytes())
+        return pa.table({key: pa.array(ks),
+                         "regs": pa.array(regs, pa.binary())})
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        kv = b[key].to_numpy(zero_copy_only=False)
+        stack = np.frombuffer(b"".join(b["regs"].to_pylist()),
+                              dtype=np.uint8).reshape(-1, m)
+        order = np.argsort(kv, kind="stable")
+        kv = kv[order]
+        stack = stack[order]
+        change = np.ones(kv.size, dtype=bool)
+        change[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(change)
+        merged = np.maximum.reduceat(stack, starts, axis=0)
+        return pa.table({key: pa.array(kv[starts]),
+                         "regs": pa.array([r.tobytes() for r in merged],
+                                          pa.binary())})
+
+    cur = combine_tree(ds.select_columns([key, col]), combine,
+                       first=partial, fanout=fanout)
+
+    def estimate(b: pa.Table) -> pa.Table:
+        vals = [_estimate(np.frombuffer(r, dtype=np.uint8))
+                for r in b["regs"].to_pylist()]
+        return pa.table({key: b[key],
+                         "approx_distinct": pa.array(vals, pa.float64())})
+
+    return cur.map_batches(estimate, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def mg_topk(ds, col: str, *, capacity: int = 256, k: int = 20,
             fanout: int = 8, pre=None):
     """Approximate top-k heavy hitters (Misra-Gries, mergeable-summaries

@@ -188,6 +188,21 @@ def test_grouped_concat_matches_string_agg():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_hll_distinct_by_key_accuracy():
+    """Grouped HLL estimates match exact per-key distincts within the
+    p=12 error envelope (~1.6% relative), with keys split across blocks
+    so the (key, max) register merge is exercised."""
+    from courlan_ray.stages.sketch import hll_distinct_by_key
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 3000),
+        "u": [f"u{i}" for i in rng.integers(0, 400, 3000)]})
+    got = hll_distinct_by_key(_ds(df, 8), "g", "u").to_pandas()
+    truth = df.groupby("g")["u"].nunique()
+    for g, est in zip(got["g"], got["approx_distinct"]):
+        assert abs(est - truth[g]) / truth[g] < 0.08
+
+
 def test_mg_topk_exact_when_under_capacity():
     """Below capacity nothing is ever subtracted: estimates are exact."""
     df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2})
