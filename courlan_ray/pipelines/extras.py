@@ -461,6 +461,27 @@ def events_hll_users_by_type(sf_dir: str):
                                "user_id").sort("event_type")
 
 
+def orders_bloom_semi_negbal(sf_dir: str):
+    """Bloom-accelerated EXACT semi join: orders of customers with
+    negative account balance.  The broadcast bit-array probe drops
+    non-members map-side (no false negatives), the exact tier verifies
+    only the survivors (stages/bloom.py) — result identical to the plain
+    semi join, so the DuckDB IN-subquery twin is a full oracle."""
+    import pyarrow.compute as pc
+
+    from ..stages.bloom import bloom_semi_filter
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    neg = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.filter(pc.less(b["c_acctbal"], 0.0))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow", batch_size=None)
+    keyed = neg.map_batches(
+        lambda b: b.rename_columns(["o_custkey"]),
+        batch_format="pyarrow", batch_size=None)
+    return bloom_semi_filter(orders, keyed, "o_custkey",
+                             keep=True).sort("o_orderkey")
+
+
 def events_top3_per_user(sf_dir: str):
     """Exact top-3 events per user by value (the "best N per group"
     operator — SQL's row_number window, computed as per-block segmented
@@ -1120,6 +1141,12 @@ def _build_extra_oracles() -> dict[str, str]:
                                            ORDER BY score DESC, token) AS rn
               FROM s)
         SELECT doc_id, token, score FROM r WHERE rn = 1 ORDER BY doc_id""",
+        # bloom-accelerated semi join: exact, so a plain IN twin
+        "orders_bloom_semi_negbal": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal < 0.0)
+        ORDER BY o_orderkey""",
         # grouped quantiles: per-group quantile_disc twin
         "events_value_quantiles_by_type": """
         SELECT event_type, 0.25 AS q, quantile_disc(value, 0.25) AS value
@@ -1378,6 +1405,7 @@ EXTRAS = {
     "events_top3_per_user": events_top3_per_user,
     "events_value_quantiles_by_type": events_value_quantiles_by_type,
     "events_hll_users_by_type": events_hll_users_by_type,
+    "orders_bloom_semi_negbal": orders_bloom_semi_negbal,
     "doc_token_postings": doc_token_postings,
     "doc_quality_band": doc_quality_band,
     "doc_top_term": doc_top_term,

@@ -188,6 +188,41 @@ def test_grouped_concat_matches_string_agg():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_bloom_semi_filter_exact_and_probe_selective():
+    """bloom_semi_filter == exact semi/anti join (the bloom tier has no
+    false negatives and the exact tier kills its false positives), and
+    the raw bloom probe alone is selective (bounded FP rate)."""
+    from courlan_ray.stages.bloom import (_canon_keys, _key_hashes,
+                                          _test_bits, bloom_semi_filter,
+                                          build_bloom)
+    rng = np.random.default_rng(21)
+    keys = pd.DataFrame({"id": rng.choice(10_000, 500, replace=False)})
+    probe = pd.DataFrame({"id": np.arange(2000), "x": np.arange(2000)})
+    want = set(probe["id"]) & set(keys["id"])
+    got = bloom_semi_filter(_ds(probe, 5), _ds(keys, 3), "id",
+                            keep=True).to_pandas()
+    assert set(got["id"]) == want
+    anti = bloom_semi_filter(_ds(probe, 5), _ds(keys, 3), "id",
+                             keep=False).to_pandas()
+    assert set(anti["id"]) == set(probe["id"]) - want
+    # raw probe: all members pass; FP rate on non-members stays small
+    bits = build_bloom(_ds(keys, 3), "id", m_bits=1 << 14, k=7)
+    non = pd.DataFrame({"id": np.arange(20_000, 30_000)})
+    h1, h2 = _key_hashes(_canon_keys(pa.chunked_array([pa.array(
+        non["id"].to_numpy())])))
+    fp = _test_bits(bits, h1, h2, 7).mean()
+    assert fp < 0.02         # 16384 bits / 500 keys, k=7 -> ~0.2% theory
+
+
+def test_bloom_empty_key_set():
+    from courlan_ray.stages.bloom import bloom_semi_filter
+    probe = pd.DataFrame({"id": [1, 2, 3]})
+    empty = pd.DataFrame({"id": pd.array([], dtype="int64")})
+    kept = bloom_semi_filter(_ds(probe, 2), _ds(empty, 1), "id",
+                             keep=False).to_pandas()
+    assert kept["id"].tolist() == [1, 2, 3]
+
+
 def test_hll_distinct_by_key_accuracy():
     """Grouped HLL estimates match exact per-key distincts within the
     p=12 error envelope (~1.6% relative), with keys split across blocks
