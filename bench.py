@@ -103,10 +103,13 @@ def run_bench() -> dict:
                                               doc_decontaminate,
                                               doc_minhash_clusters,
                                               doc_ngram_jaccard,
+                                              doc_pack_assign,
                                               doc_substring_pairs,
                                               doc_top_tokens,
                                               emb_neardup_exact,
                                               events_top3_per_user,
+                                              events_value_quantiles_by_type,
+                                              orders_bloom_semi_negbal,
                                               events_asof_prev_click,
                                               events_rolling_1h,
                                               video_dedup_pairs)
@@ -124,7 +127,11 @@ def run_bench() -> dict:
                      ("doc_substring_pairs", doc_substring_pairs),
                      ("doc_decontaminate", doc_decontaminate),
                      ("doc_top_tokens", doc_top_tokens),
+                     ("doc_pack_assign", doc_pack_assign),
                      ("events_top3_per_user", events_top3_per_user),
+                     ("events_value_quantiles_by_type",
+                      events_value_quantiles_by_type),
+                     ("orders_bloom_semi_negbal", orders_bloom_semi_negbal),
                      ("emb_neardup_exact", emb_neardup_exact),
                      ("events_asof_prev_click", events_asof_prev_click),
                      ("events_rolling_1h", events_rolling_1h),
