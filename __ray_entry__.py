@@ -25,10 +25,46 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2 (and
-    the training-data ops): SQL-oracled queries + rows-only extras."""
-    from courlan_ray.pipelines.queries import QUERIES
-    from courlan_ray.pipelines.extras import EXTRAS
-    return {**QUERIES, **EXTRAS}
+    the training-data ops): SQL-oracled queries + rows-only extras.
+
+    Ordering matters: the driver's correctness run caps at the FIRST 50
+    entries, so every query that has a DuckDB oracle is listed first (full
+    row-count + schema + value-hash check), then the rows-only extras in
+    priority order (flagship clusters, media/embedding near-dup pipelines,
+    then sketch/diagnostic variants whose exact twins are already oracled)."""
+    from courlan_ray.pipelines.queries import QUERIES, ORACLES
+    from courlan_ray.pipelines.extras import EXTRAS, EXTRA_ORACLES
+
+    merged = {**QUERIES, **EXTRAS}
+    oracled = {**ORACLES, **EXTRA_ORACLES}
+    # Rows-only entries, most valuable first (fill the window's tail).
+    rows_only_priority = [
+        "image_dedup_clusters",   # flagship cluster assignments
+        "doc_minhash_clusters",   # text near-dup clusters
+        "emb_neardup",            # embedding LSH near-dup (recall-pinned)
+        "audio_dedup_pairs",
+        "video_dedup_pairs",
+        "emb_ann_lsh",
+        "emb_ann_ivf",
+        "doc_training_prep",
+        "doc_simhash_pairs",
+        "doc_substring_lcs",
+        "events_hll_users_by_type",
+        "events_hll_users",
+        "doc_top_tokens_approx",
+        "doc_simhash",
+        "doc_fingerprints",
+        "audio_decode_stats",
+        "video_frame_stats",
+    ]
+    out = {n: merged[n] for n in merged if n in oracled}
+    for n in rows_only_priority:
+        if n in merged and n not in out:
+            out[n] = merged[n]
+    for n in merged:  # safety net: never drop an entry
+        if n not in out:
+            out[n] = merged[n]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
