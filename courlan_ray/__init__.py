@@ -99,6 +99,7 @@ from .functions.urls import (
     is_not_crawlable, is_valid_url, lang_filter, normalize_url, scrub_url,
     validate_url, check_url as check_url_strict_api,
 )
+from .meta import clear_caches
 from .pipelines.url_pipeline import sample_urls
 from .state.urltable import RayUrlStore, RayUrlStore as UrlStore, load_store
 from .pipelines.image_dedup import dedup_pipeline, pair_recall
@@ -121,6 +122,7 @@ __all__ = [
     "extension_filter", "extract_domain", "extract_links", "filter_links",
     "filter_urls", "fix_relative_urls", "get_base_url", "get_host_and_path",
     "get_hostinfo", "get_tldinfo", "is_external", "is_known_link",
+    "clear_caches",
     "is_navigation_page", "is_not_crawlable", "is_valid_url", "lang_filter",
     "normalize_url", "sample_urls", "scrub_url", "validate_url",
     "RayUrlStore", "UrlStore", "load_store",

@@ -64,7 +64,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         (clen,) = struct.unpack("<I", b[pos + 4:pos + 8])
         body = b[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
-            if clen < 16:
+            # check the ACTUAL body length, not just the declared clen — a
+            # payload truncated inside the fmt chunk would otherwise raise a
+            # bare struct.error that escapes except-AudioCodecError handlers
+            if clen < 16 or len(body) < 16:
                 raise AudioCodecError("short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":

@@ -422,10 +422,18 @@ def _norm_block(ref, id_col: str):
 
 
 def cosine_pairs_exact(ds, threshold: float, *, id_col: str = "vec_id",
-                       vec_col: str = "embedding"):
+                       vec_col: str = "embedding",
+                       max_rows: int = 2_000_000):
     """EXACT all-pairs cosine near-dup: every unordered pair with cosine
     similarity >= ``threshold`` — the auditable tier next to the
     approximate ``embedding_neardup_pairs`` (LSH buckets).
+
+    HARD-BOUNDED audit tier: O(n^2) compute by problem definition, so the
+    corpus size is checked up front and the stage REFUSES inputs above
+    ``max_rows`` (default 2M ≈ 2·10^12 dot products — hours of cluster
+    time, the outer limit of an "audit").  Near-dup detection on larger
+    corpora must go through ``embedding_neardup_pairs`` (LSH tier); pass
+    a larger ``max_rows`` explicitly only for a deliberate exact audit.
 
     Shape: one normalize pass materializes narrow (id, unit-vector) blocks
     in the OBJECT STORE (never on the driver); each map task then streams
@@ -452,6 +460,14 @@ def cosine_pairs_exact(ds, threshold: float, *, id_col: str = "vec_id",
             pa.array([[]] * b.num_rows, pa.list_(pa.float64()))})
 
     normed = ds.map_batches(norm_kernel, batch_format="pyarrow").materialize()
+    n_rows = normed.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact is an O(n^2) audit tier bounded at "
+            f"max_rows={max_rows:,} rows; got {n_rows:,}. Use the LSH "
+            f"tier (embedding_neardup_pairs) for near-dup detection at "
+            f"this scale, or pass max_rows explicitly for a deliberate "
+            f"exact audit.")
     refs = list(normed.to_arrow_refs())
 
     def pair_kernel(batch: pa.Table) -> pa.Table:

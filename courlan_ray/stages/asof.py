@@ -190,13 +190,21 @@ def asof_join(left_ds, right_ds, *, on: str, by: str,
         keys = b[by].to_numpy(zero_copy_only=False)
         ts = _ts_i64(b[on])
         if chunked:
-            # group on (key, chunk): several chunks of one key can share a
-            # partition, and replicas must never match across chunks
-            from ..functions.hashing import hash_strings, hash_u64_pair
+            # group on the EXACT (key, chunk) composite: several chunks of
+            # one key can share a partition, and replicas must never match
+            # across chunks.  Dense int64 group ids from a lexsort +
+            # pairwise-inequality boundaries — not a 64-bit hash identity,
+            # whose collision would silently merge two groups
             chunkv = b["__chunk"].to_numpy(zero_copy_only=False)
-            kh = keys.astype(np.uint64) if keys.dtype.kind in "iu" else \
-                hash_strings(keys, seed=0xA50F)
-            gkeys = hash_u64_pair(kh, chunkv.astype(np.uint64)).view(np.int64)
+            kcodes = np.unique(keys, return_inverse=True)[1]
+            order = np.lexsort((chunkv, kcodes))
+            ks, cs = kcodes[order], chunkv[order]
+            new = np.empty(order.size, dtype=bool)
+            if order.size:
+                new[0] = True
+                new[1:] = (ks[1:] != ks[:-1]) | (cs[1:] != cs[:-1])
+            gkeys = np.empty(order.size, dtype=np.int64)
+            gkeys[order] = np.cumsum(new) - 1
         else:
             gkeys = keys
         li = np.flatnonzero(side == 0)

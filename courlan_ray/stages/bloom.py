@@ -30,13 +30,42 @@ _U64 = np.uint64
 
 
 def _canon_keys(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Canonical object-dtype string keys for an arrow column (numeric
+    """Canonical object-dtype string keys for an arrow column (integer
     ids via their decimal form — vectorized astype('U'), no per-row
-    str() — so build and probe agree on any arrow integer width)."""
+    str() — so build and probe agree on any arrow integer width).
+
+    The join contract is EXACT membership, so lossy canonicalizations are
+    rejected rather than silently wrong: float keys (decimal truncation
+    would collide 1.2 with 1.9) and null keys (SQL semi/anti join never
+    matches NULL; an int column with nulls also surfaces as float here)
+    both raise."""
+    if col.null_count:
+        raise ValueError(
+            "bloom join keys must be non-null — drop/fill nulls first "
+            "(SQL semi/anti joins never match NULL keys)")
     arr = col.to_numpy(zero_copy_only=False)
-    if arr.dtype.kind in "iuf":
+    if arr.dtype.kind in "iu":
         return arr.astype(np.int64).astype("U").astype(object)
+    if arr.dtype.kind == "f":
+        raise TypeError(
+            "bloom join on float keys is not exact — cast the key column "
+            "to int or string first")
     return arr.astype(object)
+
+
+def _check_key_type(ds, col: str) -> None:
+    """Driver-side eager validation of the join-key column (so the error
+    surfaces directly instead of wrapped in a RayTaskError)."""
+    sch = ds.schema()
+    if sch is None:          # empty dataset: nothing to validate
+        return
+    t = dict(zip(sch.names, sch.types)).get(col)
+    # arrow-backed blocks carry pa.DataType, pandas-backed numpy dtypes
+    if (isinstance(t, pa.DataType) and pa.types.is_floating(t)) \
+            or getattr(t, "kind", "") == "f":
+        raise TypeError(
+            "bloom join on float keys is not exact — cast the key column "
+            "to int or string first")
 
 
 def _key_hashes(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -102,6 +131,8 @@ def bloom_semi_filter(ds, keys_ds, col: str, *, keep: bool,
 
     from .joins import _collect, cached_get
 
+    _check_key_type(ds, col)
+    _check_key_type(keys_ds, col)
     bits = build_bloom(keys_ds, col, m_bits=m_bits, k=k)
     kt = _collect(keys_ds.select_columns([col]))
     exact = np.unique(_canon_keys(kt[col])) if col in kt.column_names \

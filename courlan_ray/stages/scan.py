@@ -41,16 +41,25 @@ def ordered_prefix_sum(ds, order_col: str, val_col: str, *,
 
     narrow = ds.materialize()
 
+    def _dtypes(b: pa.Table) -> tuple[np.dtype, np.dtype]:
+        # exact handling for both int and float columns: int64 stays int64
+        # (no truncation), float widens to float64; never float->int cast
+        o_f = pa.types.is_floating(b.schema.field(order_col).type)
+        v_f = pa.types.is_floating(b.schema.field(val_col).type)
+        return (np.dtype(np.float64 if o_f else np.int64),
+                np.dtype(np.float64 if v_f else np.int64))
+
     def partial(b: pa.Table) -> pa.Table:
-        o = b[order_col].to_numpy(zero_copy_only=False)
-        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        odt, vdt = _dtypes(b)
+        o = b[order_col].to_numpy(zero_copy_only=False).astype(odt)
+        v = b[val_col].to_numpy(zero_copy_only=False).astype(vdt)
         if b.num_rows == 0:
-            return pa.table({"mn": pa.array([], pa.int64()),
-                             "mx": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.int64())})
-        return pa.table({"mn": pa.array([int(o.min())], pa.int64()),
-                         "mx": pa.array([int(o.max())], pa.int64()),
-                         "s": pa.array([int(v.sum())], pa.int64())})
+            return pa.table({"mn": pa.array([], pa.from_numpy_dtype(odt)),
+                             "mx": pa.array([], pa.from_numpy_dtype(odt)),
+                             "s": pa.array([], pa.from_numpy_dtype(vdt))})
+        return pa.table({"mn": pa.array([o.min()]),
+                         "mx": pa.array([o.max()]),
+                         "s": pa.array([v.sum()])})
 
     parts = narrow.select_columns([order_col, val_col]).map_batches(
         partial, batch_format="pyarrow", batch_size=None).to_pandas()
@@ -61,23 +70,27 @@ def ordered_prefix_sum(ds, order_col: str, val_col: str, *,
             "ordered_prefix_sum: block order ranges overlap — sort the "
             f"input by {order_col!r} first (ds.sort) or read a "
             "key-ordered source")
-    offsets = np.zeros(len(parts), dtype=np.int64)
-    np.cumsum(parts["s"].to_numpy()[:-1], out=offsets[1:])
-    # offset lookup keyed by block min order value
+    sums = parts["s"].to_numpy()
+    offsets = np.zeros(len(parts), dtype=sums.dtype)
+    np.cumsum(sums[:-1], out=offsets[1:])
+    # offset lookup keyed by the EXACT block-min order value (no int cast:
+    # float order values whose truncations collide must not alias blocks)
     ref = ray.put((parts["mn"].to_numpy(), offsets))
 
     def scan(b: pa.Table) -> pa.Table:
+        odt, vdt = _dtypes(b)
         if b.num_rows == 0:
-            return b.append_column(out_col, pa.array([], pa.int64()))
+            return b.append_column(
+                out_col, pa.array([], pa.from_numpy_dtype(vdt)))
         mins, offs = cached_get(ref)
-        o = b[order_col].to_numpy(zero_copy_only=False)
-        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = b[order_col].to_numpy(zero_copy_only=False).astype(odt)
+        v = b[val_col].to_numpy(zero_copy_only=False).astype(vdt)
         idx = np.argsort(o, kind="stable")
         c = np.cumsum(v[idx])
         if not inclusive:
             c = c - v[idx]
-        run = np.empty(b.num_rows, dtype=np.int64)
-        run[idx] = c + offs[np.searchsorted(mins, int(o.min()))]
+        run = np.empty(b.num_rows, dtype=vdt)
+        run[idx] = c + offs[np.searchsorted(mins, o.min())]
         return b.append_column(out_col, pa.array(run))
 
     return narrow.map_batches(scan, batch_format="pyarrow",

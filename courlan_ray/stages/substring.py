@@ -37,8 +37,16 @@ Quadratic contract (same as ngram_jaccard's m(m-1)/2): a width-gram shared
 by g documents emits g(g-1)/2 pairs — the exact answer.  Boilerplate-heavy
 corpora (license headers, templated prefixes) should run
 ``stages/exact_dedup`` first and/or raise ``width`` past the boilerplate
-length; there is deliberately no silent posting-list cap (an exact
-operator that drops hot grams would be wrong, not slow).
+length.  There is no SILENT posting-list cap (an exact operator that
+quietly drops hot grams would be wrong, not slow) — but there IS an
+explicit capped mode: ``hot_gram_max=g`` skips pair emission for any gram
+shared by more than ``g`` documents (one boilerplate license header at
+100 TB is a g(g-1)/2 partition-killer) and reports exactly what was
+dropped through the ``lineage`` out-dict (dropped_grams,
+dropped_postings, max_postings) so the loss is accounted, never hidden.
+Pairs that share at least one sub-cap gram are still found; only pairs
+whose EVERY shared gram is hot are missed — the standard
+hot-token-cap contract of prefix-filtered similarity joins.
 
 Hash-identity caveat: grams are 64-bit rolling hashes; a cross-gram
 collision (p ≈ 2^-64 per pair) could add a false pair / inflate a count.
@@ -97,14 +105,43 @@ def _pairs_per_gram(gram: np.ndarray, doc: np.ndarray
     return _pairs_from_postings(gram, doc, ones, 0.0)
 
 
+def _drop_hot_grams(gram: np.ndarray, cap: int,
+                    lineage: dict | None) -> np.ndarray:
+    """Boolean keep-mask over posting rows, dropping every row of a gram
+    with more than ``cap`` postings.  ``gram`` must contain each gram's
+    COMPLETE posting set (driver path: the whole corpus; shuffle path: one
+    keyed partition, where each gram lives wholly).  Accumulates exact
+    dropped-gram lineage counts into ``lineage`` when given."""
+    uniq, inv, counts = np.unique(gram, return_inverse=True,
+                                  return_counts=True)
+    keep = counts[inv] <= cap
+    if lineage is not None:
+        hot = counts > cap
+        lineage["dropped_grams"] = lineage.get("dropped_grams", 0) \
+            + int(hot.sum())
+        lineage["dropped_postings"] = lineage.get("dropped_postings", 0) \
+            + int(counts[hot].sum())
+        lineage["max_postings"] = max(lineage.get("max_postings", 0),
+                                      int(counts.max()) if counts.size else 0)
+    return keep
+
+
 def substring_pairs(ds, *, width: int = 32, id_col: str = "doc_id",
                     text_col: str = "text", seed: int = 37,
                     driver_max: int = 100_000,
-                    shuffle_partitions: int = 64):
+                    shuffle_partitions: int = 64,
+                    hot_gram_max: int | None = None,
+                    lineage: dict | None = None):
     """Dataset -> exact shared-substring pair table
     (left_id, right_id, shared_grams), every unordered pair of docs whose
     texts share an exact ``width``-byte substring, sorted by
-    (left_id, right_id).  See module docstring for the scale shape."""
+    (left_id, right_id).  See module docstring for the scale shape.
+
+    ``hot_gram_max``: optional explicit cap — grams shared by more than
+    this many docs emit NO pairs (g(g-1)/2 blowup guard); exact dropped
+    counts land in the caller-supplied ``lineage`` dict
+    (dropped_grams/dropped_postings/max_postings).  Default ``None`` keeps
+    the fully-exact contract."""
     import ray.data as rd
     from .agg import grouped_agg
     from .joins import (_collect, keyed_repartition,
@@ -148,6 +185,9 @@ def substring_pairs(ds, *, width: int = 32, id_col: str = "doc_id",
         flat = np.asarray(arr.flatten()
                           .to_numpy(zero_copy_only=False)).view(_U64)
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+        if hot_gram_max is not None:
+            keep = _drop_hot_grams(flat, hot_gram_max, lineage)
+            flat, doc_idx = flat[keep], doc_idx[keep]
         li, ri = _pairs_per_gram(flat, doc_idx)
         if li.size == 0:
             return finish(ids[:0], ids[:0], np.zeros(0, dtype=np.int64))
@@ -173,6 +213,11 @@ def substring_pairs(ds, *, width: int = 32, id_col: str = "doc_id",
     def pair_kernel(b: pa.Table) -> pa.Table:
         gram = b["gram"].to_numpy(zero_copy_only=False).view(_U64)
         doc = b[id_col].to_numpy(zero_copy_only=False)
+        if hot_gram_max is not None:
+            # each gram lives wholly in this partition (keyed shuffle), so
+            # the local posting count IS the global one — the cap is exact
+            keep = _drop_hot_grams(gram, hot_gram_max, None)
+            gram, doc = gram[keep], doc[keep]
         li, ri = _pairs_per_gram(gram, doc)
         sw = li > ri                       # canonicalize by id VALUE
         return pa.table({
@@ -180,11 +225,35 @@ def substring_pairs(ds, *, width: int = 32, id_col: str = "doc_id",
             "right_id": pa.array(np.where(sw, li, ri))})
 
     postings = sig.map_batches(postings_kernel, batch_format="pyarrow")
-    pairs = (keyed_repartition(
-                postings, keyed_shuffle_partitions(shuffle_partitions),
-                ["gram"])
-             .map_batches(pair_kernel, batch_format="pyarrow",
-                          batch_size=None))
+    shuffled = keyed_repartition(
+        postings, keyed_shuffle_partitions(shuffle_partitions), ["gram"])
+    if hot_gram_max is not None and lineage is not None:
+        # exact dropped-gram accounting: one narrow pass over the already-
+        # shuffled postings (hot grams are few by definition — the stats
+        # rows are one per partition, trivially collectable)
+        shuffled = shuffled.materialize()
+
+        def hot_stats(b: pa.Table) -> pa.Table:
+            g = b["gram"].to_numpy(zero_copy_only=False).view(_U64)
+            _, counts = np.unique(g, return_counts=True)
+            hot = counts > hot_gram_max
+            return pa.table({
+                "dropped_grams": pa.array([int(hot.sum())], pa.int64()),
+                "dropped_postings": pa.array([int(counts[hot].sum())],
+                                             pa.int64()),
+                "max_postings": pa.array(
+                    [int(counts.max()) if counts.size else 0], pa.int64())})
+
+        st = shuffled.map_batches(hot_stats, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+        lineage["dropped_grams"] = lineage.get("dropped_grams", 0) \
+            + int(st["dropped_grams"].sum())
+        lineage["dropped_postings"] = lineage.get("dropped_postings", 0) \
+            + int(st["dropped_postings"].sum())
+        lineage["max_postings"] = max(lineage.get("max_postings", 0),
+                                      int(st["max_postings"].max()))
+    pairs = shuffled.map_batches(pair_kernel, batch_format="pyarrow",
+                                 batch_size=None)
     counted = grouped_agg(pairs, ["left_id", "right_id"],
                           [("left_id", "count", "shared_grams")],
                           approx_count=n_docs * n_docs)
@@ -194,7 +263,9 @@ def substring_pairs(ds, *, width: int = 32, id_col: str = "doc_id",
 def substring_lcs(ds, *, width: int = 32, id_col: str = "doc_id",
                   text_col: str = "text", seed: int = 37,
                   driver_max: int = 100_000,
-                  shuffle_partitions: int = 64):
+                  shuffle_partitions: int = 64,
+                  hot_gram_max: int | None = None,
+                  lineage: dict | None = None):
     """Dataset -> (left_id, right_id, lcs_len) for every pair sharing an
     exact ``width``-byte substring — candidates from ``substring_pairs``
     (lossless seeding), exact LCS per pair via the generalized suffix
@@ -208,7 +279,8 @@ def substring_lcs(ds, *, width: int = 32, id_col: str = "doc_id",
     pairs = substring_pairs(ds, width=width, id_col=id_col,
                             text_col=text_col, seed=seed,
                             driver_max=driver_max,
-                            shuffle_partitions=shuffle_partitions
+                            shuffle_partitions=shuffle_partitions,
+                            hot_gram_max=hot_gram_max, lineage=lineage
                             ).drop_columns(["shared_grams"]).materialize()
     if pairs.count() == 0:
         return rd.from_arrow(pa.table({

@@ -317,3 +317,34 @@ def test_segmented_kernels_match_bruteforce_random():
                 s, e = starts[gq[i]], ends[gq[i]]
                 want = s + np.searchsorted(ts[s:e], tq[i], side=side)
                 assert pos[i] == want, (trial, side, i)
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_chunked_string_key_parity(strict):
+    """Chunked grouping uses the EXACT (key, chunk) composite (round-4
+    ADVICE: no hash identity) — parity on string keys, where the old path
+    hashed, with many (key, chunk) groups per partition."""
+    rng = np.random.default_rng(23)
+    n = 1500
+    k_l = np.array([f"host-{i}" for i in rng.integers(0, 40, n)])
+    k_r = np.array([f"host-{i}" for i in rng.integers(0, 40, n // 2)])
+    left = pd.DataFrame({
+        "k": k_l, "t": rng.integers(0, 30_000, n).astype(np.int64),
+        "lid": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": k_r, "t": rng.integers(0, 30_000, n // 2).astype(np.int64),
+        "rv": rng.random(n // 2)}).drop_duplicates(["k", "t"])
+
+    def run(**kw):
+        out = asof_join(
+            rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+            on="t", by="k", left_cols=["lid"], right_cols=["rv"],
+            strict=strict, right_suffix="", tolerance_ns=800,
+            **kw).to_pandas()
+        return out.sort_values("lid").reset_index(drop=True)
+
+    plain = run()
+    chunked = run(chunk_ns=800)
+    pd.testing.assert_frame_equal(plain, chunked)
+    assert plain["rv"].notna().sum() > 50

@@ -317,3 +317,41 @@ def test_decontamination_pre_filter_fused():
     out = contamination_counts(ds, grams, "doc_id", "text", n=8, seed=41,
                                pre=not_b).to_pandas()
     assert out["doc_id"].tolist() == [1] and out["n_hits"].tolist() == [3]
+
+
+def test_ordered_prefix_sum_float_values_exact():
+    """Float val/order columns keep float64 sums and exact block keys — no
+    silent int truncation (round-4 ADVICE)."""
+    from courlan_ray.stages.scan import ordered_prefix_sum
+    rng = np.random.default_rng(5)
+    # fractional order values whose int-truncations COLLIDE across blocks
+    order = np.sort(rng.random(200))            # all in [0, 1): int() == 0
+    df = pd.DataFrame({"o": order, "v": rng.random(200) * 3 - 1})
+    ds = rd.from_pandas(df).repartition(5)
+    got = ordered_prefix_sum(ds, "o", "v").to_pandas().sort_values("o")
+    np.testing.assert_allclose(got["running_sum"].to_numpy(),
+                               df["v"].cumsum().to_numpy(), rtol=1e-12)
+    exc = ordered_prefix_sum(ds, "o", "v",
+                             inclusive=False).to_pandas().sort_values("o")
+    np.testing.assert_allclose(exc["running_sum"].to_numpy(),
+                               (df["v"].cumsum() - df["v"]).to_numpy(),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_bloom_rejects_float_and_null_keys():
+    """bloom_semi_filter is documented EXACT — float keys (lossy decimal
+    canonicalization) and null keys (SQL never matches NULL) raise instead
+    of silently mismatching (round-4 ADVICE)."""
+    from courlan_ray.stages.bloom import bloom_semi_filter
+    probe_f = pd.DataFrame({"id": [1.2, 1.9, 3.0]})
+    keys_f = pd.DataFrame({"id": [1.9]})
+    with pytest.raises(TypeError, match="float"):
+        bloom_semi_filter(_ds(probe_f, 1), _ds(keys_f, 1), "id",
+                          keep=True).to_pandas()
+    probe_n = pd.DataFrame({"id": pd.array([1, None, 3],
+                                           dtype="Int64")})
+    keys_i = pd.DataFrame({"id": [1]})
+    # null keys raise inside the probe task -> surfaces wrapped by Ray
+    with pytest.raises(Exception, match="null"):
+        bloom_semi_filter(_ds(probe_n, 1), _ds(keys_i, 1), "id",
+                          keep=True).to_pandas()
