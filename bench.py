@@ -89,9 +89,9 @@ def run_bench() -> dict:
             "rows_clustered": n_clustered, "recall": recall,
             "images_per_sec": round(n_rows / headline, 1),
         }
-    for name in ("doc_normalize", "doc_exact_dedup", "q1_lineitem",
-                 "events_window", "events_counters", "orders_top_customers",
-                 "emb_knn"):
+    for name in ("doc_normalize", "doc_exact_dedup", "doc_group_sample",
+                 "q1_lineitem", "events_window", "events_counters",
+                 "events_schedule", "orders_top_customers", "emb_knn"):
         t0 = time.time()
         r = Q.QUERIES[name](SF_DIR)
         if hasattr(r, "count"):
@@ -111,7 +111,10 @@ def run_bench() -> dict:
                                               events_value_quantiles_by_type,
                                               orders_bloom_semi_negbal,
                                               events_asof_prev_click,
+                                              events_asof_prev_click_shuffle,
                                               events_rolling_1h,
+                                              events_rolling_1h_shuffle,
+                                              events_sessionize_shuffle,
                                               video_dedup_pairs)
     from courlan_ray.pipelines.extras import _sf_of as _extras_sf
     from courlan_ray.sources.audiosynth import synth_audio_parquet
@@ -135,6 +138,11 @@ def run_bench() -> dict:
                      ("emb_neardup_exact", emb_neardup_exact),
                      ("events_asof_prev_click", events_asof_prev_click),
                      ("events_rolling_1h", events_rolling_1h),
+                     # forced keyed-shuffle scale paths (driver_max=0)
+                     ("events_asof_prev_click_shuffle",
+                      events_asof_prev_click_shuffle),
+                     ("events_rolling_1h_shuffle", events_rolling_1h_shuffle),
+                     ("events_sessionize_shuffle", events_sessionize_shuffle),
                      ("audio_dedup_pairs", audio_dedup_pairs),
                      ("video_dedup_pairs", video_dedup_pairs)):
         t0 = time.time()

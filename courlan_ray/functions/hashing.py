@@ -313,3 +313,12 @@ def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Estimated Jaccard = fraction of agreeing MinHash permutations.
     Inputs: (npairs, num_perm) uint64."""
     return (sig_a == sig_b).mean(axis=1).astype(np.float64)
+
+
+def mul_hash_priority(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash ((id * 2654435761) % 2^32) — the ONE
+    SQL-expressible hash shared by the sampling/split pipelines AND their
+    DuckDB oracle twins (which hardcode the same constants); changing it
+    means changing every oracle in lockstep."""
+    u = ids.astype(np.uint64)
+    return (u * np.uint64(2654435761)) % np.uint64(1 << 32)

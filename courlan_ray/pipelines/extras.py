@@ -53,13 +53,7 @@ def _nrows(sf_dir: str, name: str) -> int:
     return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
 
 
-def _hash_priority(ids: np.ndarray) -> np.ndarray:
-    """Knuth multiplicative hash ((id * 2654435761) % 2^32) — the ONE
-    SQL-expressible hash shared by the sampling/split pipelines AND their
-    DuckDB oracle twins (which hardcode the same constants); changing it
-    means changing every oracle in lockstep."""
-    u = ids.astype(np.uint64)
-    return (u * np.uint64(2654435761)) % np.uint64(1 << 32)
+from ..functions.hashing import mul_hash_priority as _hash_priority  # noqa: E402
 
 
 def _split_labels(ids: np.ndarray) -> np.ndarray:
@@ -717,6 +711,58 @@ def events_asof_prev_click(sf_dir: str):
                     right_cols=["prev_click_ts", "prev_click_value"],
                     strict=True, right_suffix="",
                     approx_rows=2 * _nrows(sf_dir, "events"))
+    return out.sort("event_id")
+
+
+def events_rolling_1h_shuffle(sf_dir: str):
+    """events_rolling_1h with the driver short-circuit DISABLED
+    (driver_max=0): the keyed-shuffle scale path itself runs under the
+    DuckDB oracle — the topology the 100 TB run uses (VERDICT round 3
+    next #5).  Same oracle SQL as events_rolling_1h."""
+    from ..stages.window import rolling_window_agg
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = rolling_window_agg(ds, on="ts", by="user_id", value_col="value",
+                             width_ns=3_600_000_000,
+                             keep_cols=["event_id"],
+                             approx_rows=_nrows(sf_dir, "events"),
+                             driver_max=0)
+    return out.sort("event_id")
+
+
+def events_sessionize_shuffle(sf_dir: str):
+    """events_sessionize on the keyed-shuffle scale path (driver_max=0) —
+    oracle-checked at every driver scale, not just declared-small inputs."""
+    from ..stages.window import sessionize
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = sessionize(ds, on="ts", by="user_id",
+                     gap_ns=1_800_000_000,
+                     keep_cols=["event_id"],
+                     approx_rows=_nrows(sf_dir, "events"),
+                     driver_max=0)
+    return out.sort("event_id")
+
+
+def events_asof_prev_click_shuffle(sf_dir: str):
+    """events_asof_prev_click on the keyed-shuffle scale path
+    (driver_max=0) — the partitioned as-of join itself under the oracle."""
+    from ..stages.asof import asof_join
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'")
+
+    def mk(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "prev_click_ts": b["ts"],
+                         "prev_click_value": b["value"]})
+
+    clicks = clicks.map_batches(mk, batch_format="pyarrow")
+    ev = ev.select_columns(["event_id", "ts", "user_id"])
+    out = asof_join(ev, clicks, on="ts", by="user_id",
+                    left_cols=["event_id"],
+                    right_cols=["prev_click_ts", "prev_click_value"],
+                    strict=True, right_suffix="",
+                    approx_rows=2 * _nrows(sf_dir, "events"),
+                    driver_max=0)
     return out.sort("event_id")
 
 
@@ -1380,6 +1426,12 @@ def _build_extra_oracles() -> dict[str, str]:
                      quantile_disc(quality, 0.95) AS hi FROM dq)
         SELECT doc_id, quality FROM dq, b
         WHERE quality >= lo AND quality <= hi ORDER BY doc_id"""
+    # the *_shuffle variants force the keyed-shuffle scale path
+    # (driver_max=0) — semantics identical, so the oracle SQL is shared
+    oracles["events_rolling_1h_shuffle"] = oracles["events_rolling_1h"]
+    oracles["events_sessionize_shuffle"] = oracles["events_sessionize"]
+    oracles["events_asof_prev_click_shuffle"] = \
+        oracles["events_asof_prev_click"]
     return oracles
 
 
@@ -1411,6 +1463,9 @@ EXTRAS = {
     "doc_top_term": doc_top_term,
     "doc_pack_assign": doc_pack_assign,
     "events_asof_prev_click": events_asof_prev_click,
+    "events_rolling_1h_shuffle": events_rolling_1h_shuffle,
+    "events_sessionize_shuffle": events_sessionize_shuffle,
+    "events_asof_prev_click_shuffle": events_asof_prev_click_shuffle,
     "orders_price_bands": orders_price_bands,
     "orders_price_quantiles": orders_price_quantiles,
     "events_distinct_types": events_distinct_types,

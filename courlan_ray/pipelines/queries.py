@@ -19,8 +19,6 @@ checks for those.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -85,20 +83,24 @@ def doc_exact_dedup(sf_dir: str):
 
 
 def doc_group_sample(sf_dir: str):
-    """Per-language deterministic sample of 5 (sample_urls semantics with a
-    SQL-reproducible md5 rank)."""
+    """Per-language deterministic sample of 5 (sample_urls semantics):
+    rank by the SQL-expressible multiplicative hash (fully vectorized —
+    VERDICT round 3 next #4 retired the per-row md5 loop) and take the
+    5 smallest per group via the partial/combine top-k tree
+    (stages/topk.py) — no sort-based groupby shuffle."""
+    from ..functions.hashing import mul_hash_priority
+    from ..stages.topk import topk_per_group
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
-    def ranked(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["r"] = [hashlib.md5(str(d).encode()).hexdigest() for d in b["doc_id"]]
-        return b
+    def ranked(b: pa.Table) -> pa.Table:
+        r = mul_hash_priority(b["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "r": pa.array(r.astype(np.int64))})
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("r").head(5)[["doc_id", "lang"]]
-
-    return (ds.map_batches(ranked, batch_format="pandas")
-              .groupby("lang").map_groups(pick, batch_format="pandas"))
+    picked = topk_per_group(ds.map_batches(ranked, batch_format="pyarrow"),
+                            ["lang"], [("r", "ascending"),
+                                       ("doc_id", "ascending")], 5)
+    return picked.drop_columns(["r"])
 
 
 def doc_distinct_sorted(sf_dir: str):
@@ -164,14 +166,11 @@ def events_schedule(sf_dir: str):
     """establish_download_schedule analogue
     (/root/reference/courlan/urlstore.py:455-505): fair share of 2 slots per
     user by event time, slot index stamped per user."""
+    from ..stages.topk import topk_per_group
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(2).copy()
-        g["slot"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return topk_per_group(ds, ["user_id"],
+                          [("ts", "ascending"), ("event_id", "ascending")],
+                          2, rank_col="slot")
 
 
 def events_window(sf_dir: str):
@@ -344,8 +343,9 @@ ORACLES: dict[str, str] = {
     "doc_group_sample": """
         SELECT doc_id, lang FROM (
           SELECT doc_id, lang,
-                 row_number() OVER (PARTITION BY lang
-                                    ORDER BY md5(cast(doc_id AS varchar))) AS rn
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
           FROM documents) WHERE rn <= 5""",
     "doc_distinct_sorted": """
         SELECT lang, source, count(*) AS n FROM documents

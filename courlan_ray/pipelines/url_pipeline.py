@@ -63,19 +63,47 @@ def sample_by_host(ds, samplesize: int, *, exclude_min: int | None = None,
     lo = exclude_min if exclude_min is not None else 0
     hi = exclude_max if exclude_max is not None else 1 << 62
 
-    def per_host(g: pd.DataFrame) -> pd.DataFrame:
-        paths = np.unique(g["path"].to_numpy())
-        paths = paths[paths != "/"]
-        n = len(paths)
-        if n == 0 or n < lo or n > hi:
-            return pd.DataFrame({"url": pd.Series([], dtype=object)})
-        if n > samplesize:
-            rank = hash_strings(paths.astype(object), seed=seed)
-            paths = paths[np.argsort(rank, kind="stable")[:samplesize]]
-        host = g["hostinfo"].iloc[0]
-        return pd.DataFrame({"url": [host + p for p in sorted(paths)]})
+    # Vectorized plan (VERDICT round 3 next #3 — no per-group pandas
+    # callback): distinct (host, path) via the associative combine tree,
+    # host-size gate via a size-adaptive join, k-smallest-hash draw via
+    # the partial/combine top-k tree.  The rank ties break on path
+    # ascending — identical to the old stable argsort over np.unique's
+    # sorted paths.
+    from ..stages.agg import grouped_agg
+    from ..stages.joins import attach_by_key
+    from ..stages.topk import topk_per_group
 
-    return hp.groupby("hostinfo").map_groups(per_host, batch_format="pandas")
+    nonroot = hp.filter(expr="path != '/'")
+    distinct = grouped_agg(nonroot, ["hostinfo", "path"],
+                           [("path", "count", "_c")]).drop_columns(["_c"])
+    sizes = grouped_agg(distinct, ["hostinfo"], [("path", "count", "_n")])
+    gated = attach_by_key(distinct, sizes, ["hostinfo"])
+
+    def gate_and_rank(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(b["_n"], pa.scalar(lo)),
+                       pc.less_equal(b["_n"], pa.scalar(hi)))
+        b = b.filter(keep).drop_columns(["_n"])
+        rank = hash_strings(
+            b["path"].to_numpy(zero_copy_only=False).astype(object),
+            seed=seed)
+        return b.append_column("_rank", pa.array(rank.view(np.int64)))
+
+    picked = topk_per_group(
+        gated.map_batches(gate_and_rank, batch_format="pyarrow"),
+        ["hostinfo"], [("_rank", "ascending"), ("path", "ascending")],
+        samplesize)
+
+    def to_urls(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.take(pc.sort_indices(b, sort_keys=[
+            ("hostinfo", "ascending"), ("path", "ascending")]))
+        return pa.table(
+            {"url": pc.binary_join_element_wise(b["hostinfo"], b["path"],
+                                                "")})
+
+    return picked.map_batches(to_urls, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def url_frontier_schedule(ds, *, max_urls: int = 10_000, per_host: int = 5,
@@ -92,17 +120,29 @@ def url_frontier_schedule(ds, *, max_urls: int = 10_000, per_host: int = 5,
         lambda b: urlbatch.host_path_batch(b["url_norm"]),
         batch_format="pyarrow")
 
-    def per_host_slots(g: pd.DataFrame) -> pd.DataFrame:
-        paths = np.unique(g["path"].to_numpy())[:per_host]
-        host = g["hostinfo"].iloc[0]
-        return pd.DataFrame({
-            "url": [host + p for p in paths],
-            "hostinfo": host,
-            "sched_secs": np.arange(len(paths), dtype=np.float64) * sleep_time,
+    # first per_host distinct paths per host in path order, slot-stamped —
+    # distinct via combine tree, head + slot via the rank-stamping top-k
+    # tree (no per-group pandas callback)
+    from ..stages.agg import grouped_agg
+    from ..stages.topk import topk_per_group
+
+    distinct = grouped_agg(hp, ["hostinfo", "path"],
+                           [("path", "count", "_c")]).drop_columns(["_c"])
+    picked = topk_per_group(distinct, ["hostinfo"],
+                            [("path", "ascending")], per_host,
+                            rank_col="_slot")
+
+    def stamp(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        slots = b["_slot"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url": pc.binary_join_element_wise(b["hostinfo"], b["path"], ""),
+            "hostinfo": b["hostinfo"],
+            "sched_secs": pa.array((slots - 1).astype(np.float64)
+                                   * sleep_time),
         })
 
-    slots = hp.groupby("hostinfo").map_groups(per_host_slots,
-                                              batch_format="pandas")
+    slots = picked.map_batches(stamp, batch_format="pyarrow")
     return slots.sort("sched_secs").limit(max_urls)
 
 

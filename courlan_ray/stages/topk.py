@@ -45,7 +45,8 @@ def topk_rows(ds, sort_keys: list[tuple[str, str]], k: int, *,
 def topk_per_group(ds, group_keys: list[str],
                    sort_keys: list[tuple[str, str]], k: int, *,
                    fanout: int = 8, mode: str = "auto",
-                   approx_groups: int | None = None):
+                   approx_groups: int | None = None,
+                   rank_col: str | None = None):
     """Exact top-k rows PER GROUP (the "best N documents per domain"
     operator): SQL's ``row_number() OVER (PARTITION BY ... ORDER BY ...)
     <= k`` without a global sort.
@@ -60,7 +61,13 @@ def topk_per_group(ds, group_keys: list[str],
     ``stages/agg.resolve_agg_mode``: declare ``approx_groups`` at scale.
 
     ``sort_keys`` must totally order rows within a group (append a unique
-    id) for deterministic, oracle-comparable output."""
+    id) for deterministic, oracle-comparable output.
+
+    ``rank_col``: optionally stamp each surviving row's 1-based position
+    within its group (SQL's ``row_number()``) under that column name.  The
+    local kernel re-stamps at every tree level / the final per-partition
+    pass, so the LAST application — which sees each group whole — wins;
+    intermediate stamps are recomputed, never trusted."""
     from .agg import resolve_agg_mode
 
     order = [(g, "ascending") for g in group_keys] + list(sort_keys)
@@ -70,7 +77,12 @@ def topk_per_group(ds, group_keys: list[str],
             b = b.replace_schema_metadata(None)
         n = b.num_rows
         if n == 0:
+            # keep the schema stable across empty/non-empty blocks
+            if rank_col is not None and rank_col not in b.column_names:
+                b = b.append_column(rank_col, pa.array([], pa.int64()))
             return b
+        if rank_col is not None and rank_col in b.column_names:
+            b = b.drop_columns([rank_col])     # re-stamped below
         t = b.take(pc.sort_indices(b, sort_keys=order))
         change = np.zeros(n, dtype=bool)
         change[0] = True
@@ -80,7 +92,11 @@ def topk_per_group(ds, group_keys: list[str],
         gstart = np.flatnonzero(change)
         gid = np.cumsum(change) - 1
         pos = np.arange(n, dtype=np.int64) - gstart[gid]
-        return t.filter(pa.array(pos < k))
+        keep = pos < k
+        t = t.filter(pa.array(keep))
+        if rank_col is not None:
+            t = t.append_column(rank_col, pa.array(pos[keep] + 1))
+        return t
 
     if mode == "auto":
         mode = resolve_agg_mode(ds, approx_groups)
