@@ -96,6 +96,28 @@ ISO_639_1 = frozenset(
     "sc sd se sg si sk sl sm sn so sq sr ss st su sv sw ta te tg th ti tk "
     "tl tn to tr ts tt tw ty ug uk ur uz ve vi vo wa wo xh yi yo za zh zu".split())
 
+# ISO 3166-1 alpha-2 territory codes (public inventory) — locale suffix
+# plausibility for langcodes_score (babel raises UnknownLocaleError on
+# unknown territories like XY; the score must stay unchanged there)
+ISO_3166 = frozenset(
+    "AD AE AF AG AI AL AM AO AQ AR AS AT AU AW AX AZ BA BB BD BE BF BG BH "
+    "BI BJ BL BM BN BO BQ BR BS BT BV BW BY BZ CA CC CD CF CG CH CI CK CL "
+    "CM CN CO CR CU CV CW CX CY CZ DE DJ DK DM DO DZ EC EE EG EH ER ES ET "
+    "FI FJ FK FM FO FR GA GB GD GE GF GG GH GI GL GM GN GP GQ GR GS GT GU "
+    "GW GY HK HM HN HR HT HU ID IE IL IM IN IO IQ IR IS IT JE JM JO JP KE "
+    "KG KH KI KM KN KP KR KW KY KZ LA LB LC LI LK LR LS LT LU LV LY MA MC "
+    "MD ME MF MG MH MK ML MM MN MO MP MQ MR MS MT MU MV MW MX MY MZ NA NC "
+    "NE NF NG NI NL NO NP NR NU NZ OM PA PE PF PG PH PK PL PM PN PR PS PT "
+    "PW PY QA RE RO RS RU RW SA SB SC SD SE SG SH SI SJ SK SL SM SN SO SR "
+    "SS ST SV SX SY SZ TC TD TF TG TH TJ TK TL TM TN TO TR TT TV TW TZ UA "
+    "UG UM US UY UZ VA VC VE VG VI VN VU WF WS YE YT ZA ZM ZW".split())
+
+# ISO 15924 scripts that appear as locale subtags (zh-Hans etc.)
+LOCALE_SCRIPTS = frozenset(
+    "Arab Armn Beng Cyrl Deva Ethi Geor Grek Gujr Guru Hans Hant Hebr "
+    "Jpan Khmr Knda Kore Laoo Latn Mlym Mymr Orya Sinh Taml Telu Thai "
+    "Tibt".split())
+
 # common multi-label public suffixes (compact embedded subset; stands in
 # for the `tld` package, urlutils.py:24-42)
 _TWO_LABEL_SUFFIXES = frozenset(
@@ -243,10 +265,22 @@ def is_not_crawlable(url: str) -> bool:
 
 def langcodes_score(language: str, segment: str, score: int) -> int:
     """±1 if the segment parses as a locale whose language does/doesn't
-    match (cf. filters.py:180-191; ISO 639-1 table replaces babel)."""
-    lang = segment.split("_" if "_" in segment else "-", 1)[0].lower()
+    match; implausible locales leave the score unchanged
+    (cf. filters.py:180-191; ISO 639-1 + ISO 3166 + script tables replace
+    babel's ``Locale.parse`` — same verdict on every locale in the
+    reference's unit-test corpus, e.g. ``en_HK``→+1, ``en_XY``→0,
+    ``de_DE``→-1 for target ``en``; the one approximation is that a valid
+    (language, territory) pair babel's CLDR data lacks still scores)."""
+    delim = "_" if "_" in segment else "-"
+    parts = segment.split(delim)
+    lang = parts[0].lower()
     if lang not in ISO_639_1:
         return score
+    for suffix in parts[1:]:
+        if not ((len(suffix) == 2 and suffix.upper() in ISO_3166)
+                or (len(suffix) == 4 and suffix.title() in LOCALE_SCRIPTS)
+                or (len(suffix) == 3 and suffix.isdigit())):
+            return score          # unparseable locale: no evidence
     return score + 1 if lang == language else score - 1
 
 
@@ -587,9 +621,12 @@ def extract_links(pagecontent: str, url: str | None = None,
                   language: str | None = None, strict: bool = True,
                   trailing_slash: bool = True, with_nav: bool = False,
                   redirects: bool = False,
-                  reference: str | None = None) -> set[str]:
+                  reference: str | None = None,
+                  base_url: str | None = None) -> set[str]:
     """Regex link harvest + per-link check_url + internal/external split +
     variant-aware dedup (cf. core.py:132-227)."""
+    if base_url:
+        raise ValueError("'base_url' is deprecated, use 'url' instead.")
     validlinks: set[str] = set()
     if not pagecontent:
         return validlinks
@@ -636,10 +673,12 @@ def extract_links(pagecontent: str, url: str | None = None,
 
 def filter_links(htmlstring: str, url: str | None, *,
                  lang: str | None = None, rules=None, external: bool = False,
-                 strict: bool = False,
-                 with_nav: bool = True) -> tuple[list[str], list[str]]:
+                 strict: bool = False, with_nav: bool = True,
+                 base_url: str | None = None) -> tuple[list[str], list[str]]:
     """extract_links + robots gate + navigation-priority split
     (cf. core.py:230-267)."""
+    if base_url:
+        raise ValueError("'base_url' is deprecated, use 'url' instead.")
     links, priority = [], []
     for link in extract_links(pagecontent=htmlstring, url=url,
                               external_bool=external, language=lang,

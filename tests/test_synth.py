@@ -81,7 +81,8 @@ def test_read_table_dispatch(tmp_path):
     try:
         import lance  # noqa: F401
     except ImportError:
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(NotImplementedError,
+                           match="'lance' package.*convert to parquet"):
             read_table(str(tmp_path / "t.lance"))
     else:   # pragma: no cover - no lance wheel in this sandbox
         pytest.skip("lance installed: dispatch path exercised elsewhere")
