@@ -131,7 +131,13 @@ _TWO_LABEL_SUFFIXES = frozenset(
     "com.pl net.pl org.pl gov.pl waw.pl co.il org.il ac.il gov.il "
     "com.ru net.ru org.ru msk.ru spb.ru com.eg com.sa com.ng com.gh "
     "co.id or.id ac.id web.id com.vn net.vn org.vn com.ph net.ph org.ph "
-    "github.io gitlab.io blogspot.com wordpress.com".split())
+    "plc.uk ltd.uk nhs.uk police.uk mod.uk gv.at priv.at co.at or.at "
+    "ac.at asso.fr gouv.fr tm.fr nom.fr gob.es nom.es gob.pe gob.cl "
+    "gob.ve gob.ec gob.bo gob.do gob.gt gob.hn gob.ni gob.pa gob.sv "
+    "gub.uy co.th in.th go.th ac.th or.th co.ke or.ke go.ke ac.ke "
+    "co.tz go.tz ac.tz co.ug go.ug ac.ug co.ma gov.ma press.ma "
+    "kiev.ua lviv.ua odessa.ua muni.il k12.il idf.il sch.sa med.sa "
+    "pub.sa github.io gitlab.io blogspot.com wordpress.com".split())
 
 # generic second-level labels that mark a three-label registered domain
 # under ccTLDs absent from the compact table above (e.g. com.bd, org.pk)
