@@ -248,6 +248,27 @@ def _verdicts(cfg: DedupConfig, *, mh_l, mh_r, ph_l, ph_r, sp_l, sp_r,
     }
 
 
+_VERDICT_SLICE = 65536     # pairs per _verdicts call: bounds the (n, num_perm)
+                           # minhash gather (~64 MB at 128 perms) and keeps the
+                           # kernel's 44-bit local-ordinal packing valid (< 2^20)
+
+
+def _sliced(batch: pa.Table, one) -> pa.Table:
+    """Apply ``one`` (a verdict kernel over <= _VERDICT_SLICE pairs) to a
+    whole-block batch.  ``map_batches(batch_size=None)`` hands each task its
+    block unsplit — one task per block, so an upstream ``repartition(fanout)``
+    actually fans the kernel out instead of being re-bundled into
+    ceil(rows/batch_size) tasks (measured: 6 tasks over a 64-way fanout at
+    44k pairs).  Oversized blocks are sliced inside the task to hold the
+    memory/ordinal bounds."""
+    n = batch.num_rows
+    if n <= _VERDICT_SLICE:
+        return one(batch)
+    outs = [one(batch.slice(i, _VERDICT_SLICE))
+            for i in range(0, n, _VERDICT_SLICE)]
+    return pa.concat_tables(outs)
+
+
 def _verify_broadcast(pairs_ds, sig_ds, cfg: DedupConfig, prof=False):
     """Small-signature path: numpy broadcast pack + searchsorted gather."""
     import sys
@@ -311,8 +332,8 @@ def _verify_broadcast(pairs_ds, sig_ds, cfg: DedupConfig, prof=False):
         )
         return _emit(batch, v)
 
-    return pairs_ds.map_batches(kernel, batch_format="pyarrow",
-                                batch_size=8192)
+    return pairs_ds.map_batches(lambda b: _sliced(b, kernel),
+                                batch_format="pyarrow", batch_size=None)
 
 
 def _emit(batch: pa.Table, v: dict) -> pa.Table:
@@ -421,8 +442,8 @@ def _verify_joined(pairs_ds, sig_ds, cfg: DedupConfig):
         )
         return _emit(batch, v)
 
-    return attached.map_batches(kernel, batch_format="pyarrow",
-                                batch_size=8192)
+    return attached.map_batches(lambda b: _sliced(b, kernel),
+                                batch_format="pyarrow", batch_size=None)
 
 
 def fidelity_check(pairs_sample: pd.DataFrame, row_lookup) -> pd.DataFrame:
