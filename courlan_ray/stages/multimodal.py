@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from ..config import DedupConfig
 from ..functions import imagecodec as codec
+from .signatures import sized_pool
 
 
 def _pool(cfg: DedupConfig) -> int:
@@ -290,40 +291,45 @@ class VideoSignature:
 
 
 def decode_stats(ds, cfg: DedupConfig):
+    bs = cfg.signature_batch_size
     return ds.map_batches(ImageDecodeStats, fn_constructor_args=(cfg,),
-                          batch_format="pyarrow",
-                          batch_size=cfg.signature_batch_size,
-                          concurrency=_pool(cfg), num_cpus=1)
+                          batch_format="pyarrow", batch_size=bs,
+                          concurrency=sized_pool(ds, _pool(cfg), bs),
+                          num_cpus=1)
 
 
 def resize_images(ds, cfg: DedupConfig, target: int = 32):
+    bs = cfg.signature_batch_size
     return ds.map_batches(ImageResize, fn_constructor_args=(cfg, target),
-                          batch_format="pyarrow",
-                          batch_size=cfg.signature_batch_size,
-                          concurrency=_pool(cfg), num_cpus=1)
+                          batch_format="pyarrow", batch_size=bs,
+                          concurrency=sized_pool(ds, _pool(cfg), bs),
+                          num_cpus=1)
 
 
 def embed_images(ds, cfg: DedupConfig, dim: int = 64):
+    bs = cfg.signature_batch_size
     return ds.map_batches(ImageEmbed, fn_constructor_args=(cfg, dim),
-                          batch_format="pyarrow",
-                          batch_size=cfg.signature_batch_size,
-                          concurrency=_pool(cfg), num_cpus=1)
+                          batch_format="pyarrow", batch_size=bs,
+                          concurrency=sized_pool(ds, _pool(cfg), bs),
+                          num_cpus=1)
 
 
 def sample_video_frames(ds, cfg: DedupConfig, n_frames: int = 3):
+    bs = max(cfg.signature_batch_size // 8, 32)
     return ds.map_batches(VideoFrameSample,
                           fn_constructor_args=(cfg, n_frames),
-                          batch_format="pyarrow",
-                          batch_size=max(cfg.signature_batch_size // 8, 32),
-                          concurrency=_pool(cfg), num_cpus=1)
+                          batch_format="pyarrow", batch_size=bs,
+                          concurrency=sized_pool(ds, _pool(cfg), bs),
+                          num_cpus=1)
 
 
 def video_signatures(ds, cfg: DedupConfig, n_frames: int = 4):
+    bs = max(cfg.signature_batch_size // 8, 32)
     return ds.map_batches(VideoSignature,
                           fn_constructor_args=(cfg, n_frames),
-                          batch_format="pyarrow",
-                          batch_size=max(cfg.signature_batch_size // 8, 32),
-                          concurrency=_pool(cfg), num_cpus=1)
+                          batch_format="pyarrow", batch_size=bs,
+                          concurrency=sized_pool(ds, _pool(cfg), bs),
+                          num_cpus=1)
 
 
 def video_dedup_pairs(ds, cfg: DedupConfig, *, n_frames: int = 4,
@@ -375,10 +381,11 @@ def video_dedup_pairs(ds, cfg: DedupConfig, *, n_frames: int = 4,
 
 
 def audio_features(ds, cfg: DedupConfig):
+    bs = max(cfg.signature_batch_size // 4, 64)
     return ds.map_batches(AudioFeatures, fn_constructor_args=(cfg,),
-                          batch_format="pyarrow",
-                          batch_size=max(cfg.signature_batch_size // 4, 64),
-                          concurrency=_pool(cfg), num_cpus=1)
+                          batch_format="pyarrow", batch_size=bs,
+                          concurrency=sized_pool(ds, _pool(cfg), bs),
+                          num_cpus=1)
 
 
 def audio_dedup_pairs(ds, cfg: DedupConfig, *, max_ham: int = 8,

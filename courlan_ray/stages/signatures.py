@@ -203,6 +203,23 @@ class SignatureActor:
         })
 
 
+def sized_pool(ds, pool: int, batch_size: int) -> int:
+    """Cap an actor pool at ~2 batches per actor when the input's row count
+    is metadata-known (fresh parquet read: footer counts, no execution) —
+    a 20k-row input needs 10 signature actors, not 24 idle-starting
+    processes (measured 4.7 s -> 3.8-4.0 s for the standalone stage).
+    Unknown count (None, e.g. a transformed dataset) or large inputs keep
+    the full fixed pool."""
+    try:
+        meta_rows = ds._meta_count()
+    except Exception:
+        meta_rows = None
+    if meta_rows:
+        batches = -(-int(meta_rows) // max(1, batch_size))
+        pool = max(2, min(pool, -(-batches // 2)))
+    return pool
+
+
 def _pool_size(cfg: DedupConfig) -> int:
     """Size the pool to 3/4 of cluster CPUs so the pool never reserves
     every CPU and starves the read stage (a pool that owns the whole node
@@ -223,19 +240,7 @@ def compute_signatures(ds, cfg: DedupConfig, *, with_gates: bool = False):
     """Rows -> signature table via an actor pool; the binary payload is
     consumed here and never emitted.  ``with_gates=True`` fuses the
     canonicalization gate chain in front (see module docstring)."""
-    pool = _pool_size(cfg)
-    # metadata-known row counts (fresh parquet read: footer counts, no
-    # execution) cap the pool at ~2 batches per actor — a 20k-row input
-    # needs 10 actors, not 24 idle-starting processes (measured 4.7 s ->
-    # 3.8-4.0 s for the standalone stage).  Unknown count (None, e.g. a
-    # transformed dataset) or large inputs leave the full fixed pool.
-    try:
-        meta_rows = ds._meta_count()
-    except Exception:
-        meta_rows = None
-    if meta_rows:
-        batches = -(-int(meta_rows) // max(1, cfg.signature_batch_size))
-        pool = max(2, min(pool, -(-batches // 2)))
+    pool = sized_pool(ds, _pool_size(cfg), cfg.signature_batch_size)
     return ds.map_batches(
         SignatureActor,
         fn_constructor_args=(cfg, with_gates),
