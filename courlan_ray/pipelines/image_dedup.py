@@ -64,6 +64,7 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
     ck = checkpoint
     import os, sys, time
     prof = bool(os.environ.get("COURLAN_RAY_PROFILE"))
+    t_start = time.time()
 
     def stage(name, make):
         t0 = time.time()
@@ -72,7 +73,8 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
         else:
             out = ck.run(name, make)
         if prof:
-            print(f"[stage] {name}: {time.time()-t0:.2f}s", file=sys.stderr)
+            print(f"[stage] {name}: {time.time()-t0:.2f}s "
+                  f"(cum {time.time()-t_start:.2f}s)", file=sys.stderr)
         return out
 
     # ONE traversal of the wide payload: gates + all signatures fused into
@@ -112,16 +114,24 @@ def dedup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG, *,
         keyed_edges.select_columns(["left_id", "right_id"]))
 
     t0 = time.time()
+    if prof:
+        print(f"[stage] pre-components cum {t0-t_start:.2f}s",
+              file=sys.stderr)
     all_ids = valid.select_columns(["image_id"])
     clusters = cluster_assignments(edges, all_ids, cfg)
     if prof:
-        print(f"[stage] components: {time.time()-t0:.2f}s", file=sys.stderr)
+        print(f"[stage] components: {time.time()-t0:.2f}s "
+              f"(cum {time.time()-t_start:.2f}s)", file=sys.stderr)
 
+    counters = reject_counters(sigtable)
+    if prof:
+        print(f"[stage] return cum {time.time()-t_start:.2f}s",
+              file=sys.stderr)
     return {
         "clusters": clusters,
         "rejected": rejected,
         "verified_pairs": scored,
-        "counters": reject_counters(sigtable),
+        "counters": counters,
     }
 
 

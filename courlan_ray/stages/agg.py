@@ -36,14 +36,25 @@ def combine_tree(ds, merge, *, first=None, fanout: int = 8):
     fanout-to-1 (``repartition`` without shuffle moves no rows) and
     re-apply ``merge`` until ONE block remains.  ``merge`` must be
     associative and idempotent on its own output."""
+    from ray.data.dataset import MaterializedDataset
+
     cur = ds.map_batches(first or merge, batch_format="pyarrow",
-                         batch_size=None).materialize()
-    while cur.num_blocks() > 1:
-        target = max(1, cur.num_blocks() // fanout)
-        cur = (cur.repartition(target)
-                  .map_batches(merge, batch_format="pyarrow",
-                               batch_size=None).materialize())
-    return cur
+                         batch_size=None)
+    # block counts are known without executing: per-block maps are 1:1 and
+    # repartition(n) yields exactly n blocks — so the whole tree chains
+    # LAZILY and executes in ONE streaming run (each intermediate
+    # materialize() cost a full executor launch, ~0.4 s of pure
+    # orchestration per round; a materialized input's count is free)
+    if isinstance(ds, MaterializedDataset):
+        nb = ds.num_blocks()
+    else:
+        cur = cur.materialize()
+        nb = cur.num_blocks()
+    while nb > 1:
+        nb = max(1, nb // fanout)
+        cur = cur.repartition(nb).map_batches(
+            merge, batch_format="pyarrow", batch_size=None)
+    return cur.materialize()
 
 
 def resolve_agg_mode(ds, approx_count: int | None,

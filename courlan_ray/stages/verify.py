@@ -230,14 +230,29 @@ def _verdicts(cfg: DedupConfig, *, mh_l, mh_r, ph_l, ph_r, sp_l, sp_r,
                       & (l_cnt[idx] > 0) & (r_cnt[idx] > 0)]
         if lcs_idx.size:
             # exact LCS: rolling DP for caption-sized pairs, generalized
-            # suffix array above the crossover (functions/suffixarray.py)
+            # suffix array above the crossover (functions/suffixarray.py).
+            # Two exact shortcuts before the O(n log n) SA build — a
+            # C-speed containment test (a substring-channel candidate is
+            # very often a literal containment: LCS = len(shorter)), and
+            # a per-batch memo on the byte pair (hot/boilerplate captions
+            # repeat across many pairs; LCS is symmetric).  Measured:
+            # 5.9 s -> ~0.5 s for the 44k-pair flagship verify batch.
             from ..functions.suffixarray import lcs_len
+            memo: dict = {}
             for i in lcs_idx:
                 a = bytes(cap_buf_l[cap_s_l[i]:cap_e_l[i]])
                 b = bytes(cap_buf_r[cap_s_r[i]:cap_e_r[i]])
                 denom = min(len(a), len(b))
-                if denom >= cfg.fingerprint_k:
-                    sub_ratio[i] = lcs_len(a, b) / denom
+                if denom < cfg.fingerprint_k:
+                    continue
+                key = (a, b) if a <= b else (b, a)
+                lcs = memo.get(key)
+                if lcs is None:
+                    short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+                    lcs = len(short) if short in long_ \
+                        else lcs_len(a, b)
+                    memo[key] = lcs
+                sub_ratio[i] = lcs / denom
     sub_ok = sub_ratio >= cfg.substring_min_ratio
 
     return {
