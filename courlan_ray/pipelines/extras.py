@@ -663,34 +663,38 @@ def orders_price_bands(sf_dir: str):
     return out.sort(["o_orderkey", "band"])
 
 
-def events_rolling_1h(sf_dir: str):
+def events_rolling_1h(sf_dir: str, *, driver_max: int | None = None):
     """Rolling 1-hour window per user (custom operator, stages/window.py):
     count + sum of the user's events in [ts - 1h, ts].  Full DuckDB oracle
-    (RANGE BETWEEN window frame)."""
+    (RANGE BETWEEN window frame).  ``driver_max`` overrides the stage's
+    declared-size driver short-circuit (0 forces the keyed-shuffle path —
+    the *_shuffle query variant)."""
     from ..stages.window import rolling_window_agg
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    kw = {} if driver_max is None else {"driver_max": driver_max}
     # events ts is timestamp[us] -> width in microseconds
     out = rolling_window_agg(ds, on="ts", by="user_id", value_col="value",
                              width_ns=3_600_000_000,
                              keep_cols=["event_id"],
-                             approx_rows=_nrows(sf_dir, "events"))
+                             approx_rows=_nrows(sf_dir, "events"), **kw)
     return out.sort("event_id")
 
 
-def events_sessionize(sf_dir: str):
+def events_sessionize(sf_dir: str, *, driver_max: int | None = None):
     """Gap-based sessionization (custom operator, stages/window.py):
     a new session per user when the inter-event gap exceeds 30 minutes.
     Full DuckDB oracle (lag + running-sum window)."""
     from ..stages.window import sessionize
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    kw = {} if driver_max is None else {"driver_max": driver_max}
     out = sessionize(ds, on="ts", by="user_id",
                      gap_ns=1_800_000_000,        # ts is timestamp[us]
                      keep_cols=["event_id"],
-                     approx_rows=_nrows(sf_dir, "events"))
+                     approx_rows=_nrows(sf_dir, "events"), **kw)
     return out.sort("event_id")
 
 
-def events_asof_prev_click(sf_dir: str):
+def events_asof_prev_click(sf_dir: str, *, driver_max: int | None = None):
     """AS-OF join (custom operator, stages/asof.py): each event joined to
     the same user's most recent STRICTLY-prior click.  Full DuckDB oracle
     (native ASOF JOIN)."""
@@ -706,11 +710,12 @@ def events_asof_prev_click(sf_dir: str):
 
     clicks = clicks.map_batches(mk, batch_format="pyarrow")
     ev = ev.select_columns(["event_id", "ts", "user_id"])
+    kw = {} if driver_max is None else {"driver_max": driver_max}
     out = asof_join(ev, clicks, on="ts", by="user_id",
                     left_cols=["event_id"],
                     right_cols=["prev_click_ts", "prev_click_value"],
                     strict=True, right_suffix="",
-                    approx_rows=2 * _nrows(sf_dir, "events"))
+                    approx_rows=2 * _nrows(sf_dir, "events"), **kw)
     return out.sort("event_id")
 
 
@@ -719,51 +724,19 @@ def events_rolling_1h_shuffle(sf_dir: str):
     (driver_max=0): the keyed-shuffle scale path itself runs under the
     DuckDB oracle — the topology the 100 TB run uses (VERDICT round 3
     next #5).  Same oracle SQL as events_rolling_1h."""
-    from ..stages.window import rolling_window_agg
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    out = rolling_window_agg(ds, on="ts", by="user_id", value_col="value",
-                             width_ns=3_600_000_000,
-                             keep_cols=["event_id"],
-                             approx_rows=_nrows(sf_dir, "events"),
-                             driver_max=0)
-    return out.sort("event_id")
+    return events_rolling_1h(sf_dir, driver_max=0)
 
 
 def events_sessionize_shuffle(sf_dir: str):
     """events_sessionize on the keyed-shuffle scale path (driver_max=0) —
     oracle-checked at every driver scale, not just declared-small inputs."""
-    from ..stages.window import sessionize
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    out = sessionize(ds, on="ts", by="user_id",
-                     gap_ns=1_800_000_000,
-                     keep_cols=["event_id"],
-                     approx_rows=_nrows(sf_dir, "events"),
-                     driver_max=0)
-    return out.sort("event_id")
+    return events_sessionize(sf_dir, driver_max=0)
 
 
 def events_asof_prev_click_shuffle(sf_dir: str):
     """events_asof_prev_click on the keyed-shuffle scale path
     (driver_max=0) — the partitioned as-of join itself under the oracle."""
-    from ..stages.asof import asof_join
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
-                                  "event_type", "value"])
-    clicks = ev.filter(expr="event_type == 'click'")
-
-    def mk(b: pa.Table) -> pa.Table:
-        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
-                         "prev_click_ts": b["ts"],
-                         "prev_click_value": b["value"]})
-
-    clicks = clicks.map_batches(mk, batch_format="pyarrow")
-    ev = ev.select_columns(["event_id", "ts", "user_id"])
-    out = asof_join(ev, clicks, on="ts", by="user_id",
-                    left_cols=["event_id"],
-                    right_cols=["prev_click_ts", "prev_click_value"],
-                    strict=True, right_suffix="",
-                    approx_rows=2 * _nrows(sf_dir, "events"),
-                    driver_max=0)
-    return out.sort("event_id")
+    return events_asof_prev_click(sf_dir, driver_max=0)
 
 
 def emb_neardup_exact(sf_dir: str):

@@ -50,6 +50,11 @@ def sample_by_host(ds, samplesize: int, *, exclude_min: int | None = None,
     [exclude_min, exclude_max], take ``samplesize`` paths per host (all if
     fewer), output sorted per host.  The draw is seeded/key-derived
     instead of random.sample (order-free determinism, SURVEY.md §4)."""
+    from ..stages.agg import meta_rows
+    nrows = meta_rows(ds)   # upper bound on distinct (host, path) / hosts:
+    # declared-cardinality routing for the grouped stages below (a lazy
+    # input with no bound would default the combine tree's final merge to
+    # one block holding every distinct pair — the lazy-auto trap)
     checked = process_urls(ds, strict=strict, language=language,
                            url_col=url_col)
     valid = checked.filter(expr="valid == True")
@@ -66,17 +71,21 @@ def sample_by_host(ds, samplesize: int, *, exclude_min: int | None = None,
     # Vectorized plan (VERDICT round 3 next #3 — no per-group pandas
     # callback): distinct (host, path) via the associative combine tree,
     # host-size gate via a size-adaptive join, k-smallest-hash draw via
-    # the partial/combine top-k tree.  The rank ties break on path
-    # ascending — identical to the old stable argsort over np.unique's
-    # sorted paths.
+    # the partial/combine top-k tree.  Rank ties break on path ascending.
+    # NOTE the rank compares the hash's SIGNED int64 view (SQL-BIGINT
+    # order, matching the oracle twin) — a deliberate round-4 change from
+    # the earlier unsigned argsort, so drawn samples differ from pre-r4
+    # outputs for hashes with the top bit set.
     from ..stages.agg import grouped_agg
     from ..stages.joins import attach_by_key
     from ..stages.topk import topk_per_group
 
     nonroot = hp.filter(expr="path != '/'")
     distinct = grouped_agg(nonroot, ["hostinfo", "path"],
-                           [("path", "count", "_c")]).drop_columns(["_c"])
-    sizes = grouped_agg(distinct, ["hostinfo"], [("path", "count", "_n")])
+                           [("path", "count", "_c")],
+                           approx_count=nrows).drop_columns(["_c"])
+    sizes = grouped_agg(distinct, ["hostinfo"], [("path", "count", "_n")],
+                        approx_count=nrows)
     gated = attach_by_key(distinct, sizes, ["hostinfo"])
 
     def gate_and_rank(b: pa.Table) -> pa.Table:
@@ -92,7 +101,7 @@ def sample_by_host(ds, samplesize: int, *, exclude_min: int | None = None,
     picked = topk_per_group(
         gated.map_batches(gate_and_rank, batch_format="pyarrow"),
         ["hostinfo"], [("_rank", "ascending"), ("path", "ascending")],
-        samplesize)
+        samplesize, approx_groups=nrows)
 
     def to_urls(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -114,6 +123,11 @@ def url_frontier_schedule(ds, *, max_urls: int = 10_000, per_host: int = 5,
     global sort by scheduled time, global cap at ``max_urls``.
 
     Returns (url, hostinfo, sched_secs) sorted by sched_secs."""
+    from ..stages.agg import grouped_agg, meta_rows
+    from ..stages.topk import topk_per_group
+
+    nrows = meta_rows(ds)   # declared bound for the grouped stages (the
+    # lazy-auto trap — see sample_by_host)
     checked = process_urls(ds, url_col=url_col)
     valid = checked.filter(expr="valid == True")
     hp = valid.map_batches(
@@ -123,14 +137,12 @@ def url_frontier_schedule(ds, *, max_urls: int = 10_000, per_host: int = 5,
     # first per_host distinct paths per host in path order, slot-stamped —
     # distinct via combine tree, head + slot via the rank-stamping top-k
     # tree (no per-group pandas callback)
-    from ..stages.agg import grouped_agg
-    from ..stages.topk import topk_per_group
-
     distinct = grouped_agg(hp, ["hostinfo", "path"],
-                           [("path", "count", "_c")]).drop_columns(["_c"])
+                           [("path", "count", "_c")],
+                           approx_count=nrows).drop_columns(["_c"])
     picked = topk_per_group(distinct, ["hostinfo"],
                             [("path", "ascending")], per_host,
-                            rank_col="_slot")
+                            rank_col="_slot", approx_groups=nrows)
 
     def stamp(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -57,6 +57,19 @@ def combine_tree(ds, merge, *, first=None, fanout: int = 8):
     return cur.materialize()
 
 
+def meta_rows(ds) -> int | None:
+    """Row count when it is metadata-known (fresh parquet read: footer
+    counts; materialized dataset: block metadata) — None otherwise.  Never
+    executes the dataset, so it is safe to probe lazy inputs; callers use
+    it as a declared upper bound on group cardinality (distinct keys <=
+    rows) for ``resolve_agg_mode`` routing."""
+    try:
+        n = ds._meta_count()
+        return int(n) if n is not None else None
+    except Exception:
+        return None
+
+
 def resolve_agg_mode(ds, approx_count: int | None,
                      tree_max_groups: int = TREE_MAX_GROUPS) -> str:
     """Tree vs shuffle routing for ``mode="auto"`` (the declared-cardinality

@@ -459,6 +459,20 @@ def cosine_pairs_exact(ds, threshold: float, *, id_col: str = "vec_id",
                 pa.array(v.ravel(), pa.float64()), d) if d else
             pa.array([[]] * b.num_rows, pa.list_(pa.float64()))})
 
+    # refuse BEFORE the normalize pass when the input size is already
+    # metadata-known (fresh parquet read / materialized input) — the guard
+    # exists to stop accidental corpus-scale runs, so it must not first
+    # pay an O(n) normalize + object-store materialization of the corpus
+    from .agg import meta_rows
+    pre_rows = meta_rows(ds)
+    if pre_rows is not None and pre_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact is an O(n^2) audit tier bounded at "
+            f"max_rows={max_rows:,} rows; got {pre_rows:,}. Use the LSH "
+            f"tier (embedding_neardup_pairs) for near-dup detection at "
+            f"this scale, or pass max_rows explicitly for a deliberate "
+            f"exact audit.")
+
     normed = ds.map_batches(norm_kernel, batch_format="pyarrow").materialize()
     n_rows = normed.count()
     if n_rows > max_rows:

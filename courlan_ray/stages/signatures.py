@@ -216,7 +216,10 @@ def sized_pool(ds, pool: int, batch_size: int) -> int:
         meta_rows = None
     if meta_rows:
         batches = -(-int(meta_rows) // max(1, batch_size))
-        pool = max(2, min(pool, -(-batches // 2)))
+        # a cap only: never RAISE the pool above its configured size (a
+        # 1-actor pool on a 2-CPU cluster must stay 1 — two actors would
+        # reserve every CPU and starve the read stage)
+        pool = min(pool, max(2, -(-batches // 2)))
     return pool
 
 

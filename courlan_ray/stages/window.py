@@ -135,13 +135,21 @@ def rolling_window_agg(ds, *, on: str, by: str, value_col: str,
         ts = _ts_i64(b[on])
         vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         if chunked:
-            # group on (key, chunk): several groups of one key may share a
-            # partition, and replicas must never mix across chunks
-            from ..functions.hashing import hash_strings, hash_u64_pair
+            # group on the EXACT (key, chunk) composite: several chunks of
+            # one key can share a partition, and replicas must never mix
+            # across chunks.  Dense int64 group ids from a lexsort +
+            # pairwise-inequality boundaries — not a 64-bit hash identity,
+            # whose collision would silently merge two groups (same fix as
+            # stages/asof.py, ADVICE r3)
             chunkv = b["__chunk"].to_numpy(zero_copy_only=False)
-            kh = keys.astype(np.uint64) if keys.dtype.kind in "iu" else \
-                hash_strings(keys, seed=0x5E55)
-            gkey = hash_u64_pair(kh, chunkv.astype(np.uint64)).view(np.int64)
+            kcodes = np.unique(keys, return_inverse=True)[1]
+            corder = np.lexsort((chunkv, kcodes))
+            ks0, cs0 = kcodes[corder], chunkv[corder]
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = (ks0[1:] != ks0[:-1]) | (cs0[1:] != cs0[:-1])
+            gkey = np.empty(n, dtype=np.int64)
+            gkey[corder] = np.cumsum(new) - 1
             is_main = b["__main"].to_numpy(zero_copy_only=False)
         else:
             gkey = keys
