@@ -252,3 +252,27 @@ def test_clear_caches_drops_broadcast_caches():
     assert ann._block_cache_used == 0
     # cache refills transparently after the drop
     assert joins.cached_get(ref) == {"x": 1}
+
+
+def test_sized_pool_bounds():
+    """sized_pool is a CAP on a configured actor pool, never a raise
+    (round-4 review: a 1-actor pool on a 2-CPU cluster must stay 1), and
+    leaves unknown-size inputs untouched."""
+    from courlan_ray.stages.signatures import sized_pool
+
+    class Known:
+        def __init__(self, n):
+            self.n = n
+
+        def _meta_count(self):
+            return self.n
+
+    class Unknown:
+        def _meta_count(self):
+            return None
+
+    assert sized_pool(Known(20_000), 24, 1024) == 10   # ~2 batches/actor
+    assert sized_pool(Known(20_000), 1, 1024) == 1     # never raised
+    assert sized_pool(Known(1), 24, 1024) == 2         # cap floor is 2
+    assert sized_pool(Unknown(), 24, 1024) == 24       # unknown: unchanged
+    assert sized_pool(Known(10_000_000), 24, 1024) == 24   # large: full pool
