@@ -131,24 +131,32 @@ def doc_quality(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-def doc_simhash_pairs(sf_dir: str):
-    """SimHash Hamming-ball near-dup pairs (<= 3 bits) — exact by
-    pigeonhole banding + per-pair Hamming verify (stages/simhash_pairs.py).
-    Rows-only driver check (simhash is not SQL-expressible); planted-truth
-    brute-force equivalence in tests/test_simhash_pairs.py."""
-    from ..stages.simhash_pairs import simhash_hamming_pairs
+def _doc_simhash_i64(sf_dir: str):
+    """(doc_id, simhash:int64) signature table — the pair stage's input
+    AND (materialized by ensure_oracle_inputs) the doc_simhash_pairs
+    oracle's brute-force input."""
     sig = doc_simhash(sf_dir).drop_columns(["shingles"])
 
     def to_i64(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         vals = np.array([int(s, 16) for s in b["simhash"].to_pylist()],
                         dtype=np.uint64)
         return pa.table({"doc_id": b["doc_id"],
                          "simhash": pa.array(vals.view(np.int64), pa.int64())})
 
-    return simhash_hamming_pairs(sig.map_batches(to_i64,
-                                                 batch_format="pyarrow"),
-                                 max_ham=3)
+    return sig.map_batches(to_i64, batch_format="pyarrow")
+
+
+def doc_simhash_pairs(sf_dir: str):
+    """SimHash Hamming-ball near-dup pairs (<= 3 bits) — exact by
+    pigeonhole banding + per-pair Hamming verify (stages/simhash_pairs.py).
+    Full DuckDB oracle (EXTRA_ORACLES['doc_simhash_pairs']): the SQL twin
+    brute-forces the O(n^2) self-join over the materialized signature
+    parquet with bit_count(xor(...)) <= 3 — an independent check of the
+    banding/pairing/verify machinery (the signature kernel itself is
+    pinned by planted-truth brute-force tests in
+    tests/test_simhash_pairs.py)."""
+    from ..stages.simhash_pairs import simhash_hamming_pairs
+    return simhash_hamming_pairs(_doc_simhash_i64(sf_dir), max_ham=3)
 
 
 def doc_token_counts_bpe(sf_dir: str):
@@ -854,8 +862,12 @@ def audio_dedup_pairs(sf_dir: str):
     """Audio near-dup pairs over the deterministic synthetic WAV table
     (sources/audiosynth.py): WAV decode + 64-bit spectral fingerprint in
     an actor pool, Hamming-ball candidates + profile-L2 verify.
-    Rows-only driver check (spectral hashing is not SQL-expressible);
-    planted-truth recall/precision pinned in tests/test_audio.py."""
+    Full DuckDB oracle (EXTRA_ORACLES['audio_dedup_pairs']): the SQL twin
+    brute-forces the O(n^2) self-join over the materialized feature
+    parquet — bit_count(xor(simhash)) <= 8 AND list_distance(features)
+    <= 0.5 — independently checking the pigeonhole banding, pair join and
+    verify tiers (the decode/fingerprint kernel is pinned by planted-truth
+    recall/precision tests in tests/test_audio.py)."""
     from ..stages.multimodal import audio_dedup_pairs as pairs
     return pairs(_audio_ds(sf_dir), DedupConfig())
 
@@ -894,8 +906,13 @@ def video_dedup_pairs(sf_dir: str):
     """Video near-dup pairs over the deterministic synthetic FVID table
     (sources/videosynth.py): frame-sampled phash majority fingerprint in
     an actor pool, pigeonhole Hamming-ball candidates, slot-wise frame
-    verification.  Rows-only driver check; planted recall/precision
-    pinned in tests/test_video.py."""
+    verification.  Full DuckDB oracle (EXTRA_ORACLES['video_dedup_pairs']):
+    the SQL twin brute-forces the O(n^2) self-join over the materialized
+    signature parquet — bit_count(xor(vhash)) <= 3 AND per-slot
+    list_max(bit_count(xor(frame_phashes[i]))) <= 3 — independently
+    checking banding, pair join and the slot-verify kernel (the frame
+    decode/phash kernel is pinned by planted-truth tests in
+    tests/test_video.py)."""
     from ..stages.multimodal import video_dedup_pairs as pairs
     return pairs(_video_ds(sf_dir), DedupConfig())
 
@@ -949,15 +966,54 @@ def synth_parquet_path(sf_dir: str) -> str:
     return synth_parquet(_SF_ROWS[_sf_of(sf_dir)], 42)
 
 
+#: root for the per-query signature/feature parquets the pair-verify
+#: oracles brute-force over (deterministic, cached once per process tree)
+_ORACLE_SIG_ROOT = "/tmp/courlan_ray_oracle_sigs"
+
+#: the driver's correctness run always compares at sf=0.01
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _materialize_oracle_parquet(tag: str, make_ds) -> str:
+    """Write (once) a deterministic signature/feature table to parquet so
+    the DuckDB oracle can recompute every pair verdict independently
+    (brute-force self-join) from the same signatures the Ray pipeline
+    bands + verifies.  Returns the parquet glob the SQL scans."""
+    import os
+    import shutil
+
+    out = os.path.join(_ORACLE_SIG_ROOT, tag)
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        make_ds().write_parquet(out, min_rows_per_file=512,
+                                max_rows_per_file=512)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return os.path.join(out, "*.parquet")
+
+
 def ensure_oracle_inputs() -> None:
     """Materialize side inputs the oracle SQL strings reference by path.
     Called by __ray_entry__.oracle_sql() so the driver's DuckDB run finds
-    the synthetic tables regardless of query/oracle run order."""
+    the synthetic tables (and the pair-verify signature parquets)
+    regardless of query/oracle run order."""
     from ..sources.audiosynth import synth_audio_parquet
     from ..sources.videosynth import synth_video_parquet
+    from ..stages.multimodal import audio_features, video_signatures
     synth_parquet_path("sf0.01")   # the driver compares at sf=0.01
     synth_audio_parquet(_AUDIO_ROWS["0.01"], 42)
     synth_video_parquet(_VIDEO_ROWS["0.01"], 42)
+    _materialize_oracle_parquet(
+        "audio_feats-sf0.01",
+        lambda: audio_features(_audio_ds("sf0.01"), DedupConfig()))
+    _materialize_oracle_parquet(
+        "video_sigs-sf0.01",
+        lambda: video_signatures(_video_ds("sf0.01"), DedupConfig(),
+                                 n_frames=4))
+    _materialize_oracle_parquet(
+        "doc_simhash-sf0.01",
+        lambda: _doc_simhash_i64(_ORACLE_SF_DIR))
 
 
 def _image_counters_sql(parquet_glob: str) -> str:
@@ -1084,6 +1140,48 @@ def _build_extra_oracles() -> dict[str, str]:
           FROM v WHERE NOT good)
         SELECT * FROM good_rows UNION ALL SELECT * FROM bad_rows
         ORDER BY video_id, frame_idx""",
+        # pair-verify twins: brute-force O(n^2) self-joins over the
+        # materialized signature parquets (_materialize_oracle_parquet) —
+        # every threshold recomputed in SQL, checking the pigeonhole
+        # banding + pair join + verify tiers independently.  The emitted
+        # columns are exact integers (hamming distances), so the value
+        # hash is bit-reproducible; the audio profile-L2 gate is a FILTER
+        # whose 10x dup/cross margin makes float ULP drift irrelevant.
+        "audio_dedup_pairs": f"""
+        SELECT a.audio_id AS left_id, b.audio_id AS right_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+        FROM read_parquet('{_ORACLE_SIG_ROOT}/audio_feats-sf0.01/*.parquet') a
+        JOIN read_parquet('{_ORACLE_SIG_ROOT}/audio_feats-sf0.01/*.parquet') b
+          ON a.audio_id < b.audio_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+          AND list_distance(a.features::DOUBLE[], b.features::DOUBLE[])
+              <= 0.5
+        ORDER BY 1, 2""",
+        "video_dedup_pairs": f"""
+        WITH p AS (
+          SELECT a.video_id AS left_id, b.video_id AS right_id,
+                 list_max(list_transform(
+                     generate_series(1, len(a.frame_phashes)),
+                     i -> bit_count(xor(a.frame_phashes[i],
+                                        b.frame_phashes[i])))) AS msh
+          FROM read_parquet('{_ORACLE_SIG_ROOT}/video_sigs-sf0.01/*.parquet') a
+          JOIN read_parquet('{_ORACLE_SIG_ROOT}/video_sigs-sf0.01/*.parquet') b
+            ON a.video_id < b.video_id
+          WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
+            AND len(a.frame_phashes) > 0
+            AND len(a.frame_phashes) = len(b.frame_phashes))
+        SELECT left_id, right_id, CAST(msh AS BIGINT) AS max_slot_ham
+        FROM p WHERE msh <= 3
+        ORDER BY 1, 2""",
+        "doc_simhash_pairs": f"""
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                 AS hamming
+        FROM read_parquet('{_ORACLE_SIG_ROOT}/doc_simhash-sf0.01/*.parquet') a
+        JOIN read_parquet('{_ORACLE_SIG_ROOT}/doc_simhash-sf0.01/*.parquet') b
+          ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY 1, 2""",
         # exact heavy hitters: same token class as the engine kernel
         "doc_top_tokens": r"""
         WITH t AS (

@@ -106,8 +106,11 @@ def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,
     if n_keys == 0:
         return ds if not keep else ds.limit(0)
     if n_keys <= broadcast_max:
-        key_list = [r[kc] for r in keys_ds.select_columns([kc]).take_all()]
-        ref = ray.put(pa.array(sorted(set(key_list))))
+        # Arrow-native collect: concat the key column's blocks and dedup
+        # with the hash kernel — never take_all() row dicts (a 5M-key side
+        # would build 5M Python dicts on the driver just to read one field)
+        key_tbl = _collect(keys_ds.select_columns([kc]))
+        ref = ray.put(safe_combine(key_tbl[kc]).unique())
 
         def probe(batch: pa.Table) -> pa.Table:
             vals = cached_get(ref)
@@ -130,19 +133,44 @@ def filter_by_keys(ds, keys_ds, key_col: str, *, keep: bool,
     return joined.map_batches(pred, batch_format="pyarrow").drop_columns(["__hit"])
 
 
+#: broadcast budget for attach_by_key's right side, in BYTES — the row
+#: count alone is not a safe gate (a 2M-row side with KB-wide payload rows
+#: would broadcast GBs to every node); both must pass.
+BROADCAST_MAX_BYTES = 256 * 2**20
+
+
+def _should_broadcast(n_rows: int, n_bytes: int | None,
+                      max_rows: int, max_bytes: int) -> bool:
+    """Broadcast only when BOTH the row count and the materialized byte
+    size (when known) fit the budget; unknown size -> trust the row gate."""
+    if n_rows > max_rows:
+        return False
+    return n_bytes is None or n_bytes <= max_bytes
+
+
 def attach_by_key(left_ds, right_ds, on: list[str], *,
                   num_partitions: int = 8,
-                  broadcast_max: int = 2_000_000, how: str = "inner"):
+                  broadcast_max: int = 2_000_000,
+                  broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+                  how: str = "inner"):
     """Inner/left join ``right_ds``'s columns onto ``left_ds`` by key
     column(s).  Small right sides are broadcast once via ``ray.put`` and
     merged with vectorized pandas inside ``map_batches`` (no shuffle);
     large right sides fall back to the partitioned hash ``Dataset.join``.
+    "Small" is both a row-count AND a byte budget (``size_bytes()`` of the
+    materialized right side) so a narrow-but-wide-row table never
+    broadcasts GBs per node.
 
     ``Dataset.join`` has high fixed cost (aggregator actor pool startup),
     so the broadcast path also keeps small/medium pipelines fast."""
     right_ds = right_ds.materialize()     # count() is then metadata-free and
     n_right = right_ds.count()            # the collect below doesn't re-execute
-    if n_right <= broadcast_max:
+    try:
+        right_bytes = right_ds.size_bytes()
+    except Exception:
+        right_bytes = None
+    if _should_broadcast(n_right, right_bytes, broadcast_max,
+                         broadcast_max_bytes):
         small_df = _collect(right_ds).to_pandas()
         ref = ray.put(small_df)           # converted ONCE, shipped once
 

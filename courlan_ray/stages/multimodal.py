@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DedupConfig
 from ..functions import imagecodec as codec
@@ -351,29 +352,38 @@ def video_dedup_pairs(ds, cfg: DedupConfig, *, n_frames: int = 4,
                                payload_cols=["frame_phashes"])
 
     def verify(b: pa.Table) -> pa.Table:
+        # vectorized slot verify: flatten both FixedSize/variable list
+        # columns for the eligible (non-empty, equal-length) rows — the
+        # flattened value arrays then align slot-for-slot — segmented XOR
+        # popcount via the shared simhash kernel, per-row max by reduceat.
+        import pyarrow.compute as pc
+        from .simhash_pairs import _ham64
         empty = pa.table({"left_id": pa.array([], pa.string()),
                           "right_id": pa.array([], pa.string()),
                           "max_slot_ham": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        keep = np.zeros(b.num_rows, dtype=bool)
-        worst = np.zeros(b.num_rows, dtype=np.int64)
-        pl = b["frame_phashes_l"].to_pylist()
-        pr = b["frame_phashes_r"].to_pylist()
-        for i, (a, c) in enumerate(zip(pl, pr)):
-            if not a or not c or len(a) != len(c):
-                continue
-            x = np.asarray(a, dtype=np.int64).view(np.uint64) \
-                ^ np.asarray(c, dtype=np.int64).view(np.uint64)
-            pop = np.zeros(x.size, dtype=np.int64)
-            while x.any():
-                pop += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-            worst[i] = int(pop.max())
-            keep[i] = worst[i] <= slot_ham_max
+        len_l = pc.list_value_length(b["frame_phashes_l"]) \
+            .to_numpy(zero_copy_only=False)
+        len_r = pc.list_value_length(b["frame_phashes_r"]) \
+            .to_numpy(zero_copy_only=False)
+        elig = (len_l > 0) & (len_l == len_r)
+        if not elig.any():
+            return empty
+        sub = b.filter(pa.array(elig))
+        vl = pc.list_flatten(sub["frame_phashes_l"]) \
+            .to_numpy(zero_copy_only=False)
+        vr = pc.list_flatten(sub["frame_phashes_r"]) \
+            .to_numpy(zero_copy_only=False)
+        pop = _ham64(np.ascontiguousarray(vl), np.ascontiguousarray(vr))
+        lens = len_l[elig].astype(np.int64)
+        starts = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        worst = np.maximum.reduceat(pop, starts)
+        keep = worst <= slot_ham_max
         return pa.table({
-            "left_id": b["left_id"].filter(pa.array(keep)),
-            "right_id": b["right_id"].filter(pa.array(keep)),
+            "left_id": sub["left_id"].filter(pa.array(keep)),
+            "right_id": sub["right_id"].filter(pa.array(keep)),
             "max_slot_ham": pa.array(worst[keep], pa.int64())})
 
     out = attached.map_batches(verify, batch_format="pyarrow")
@@ -417,9 +427,14 @@ def audio_dedup_pairs(ds, cfg: DedupConfig, *, max_ham: int = 8,
                                payload_cols=["features"])
 
     def verify(b: pa.Table) -> pa.Table:
+        # emitted column is the (exact-integer) fingerprint Hamming
+        # distance, not the float profile L2: every output value is then
+        # bit-reproducible by the DuckDB oracle (bit_count(xor(...))),
+        # while the profile-L2 gate — whose 10x dup/cross margin makes it
+        # ULP-safe as a FILTER — stays the verification tier.
         empty = pa.table({"left_id": pa.array([], pa.string()),
                           "right_id": pa.array([], pa.string()),
-                          "profile_dist": pa.array([], pa.float64())})
+                          "ham": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
         fl = np.asarray(b["features_l"].combine_chunks().flatten()
@@ -433,7 +448,8 @@ def audio_dedup_pairs(ds, cfg: DedupConfig, *, max_ham: int = 8,
         return pa.table({
             "left_id": b["left_id"].filter(pa.array(keep)),
             "right_id": b["right_id"].filter(pa.array(keep)),
-            "profile_dist": pa.array(np.round(d[keep], 4), pa.float64())})
+            "ham": pc.cast(b["hamming"].filter(pa.array(keep)),
+                           pa.int64())})
 
     out = attached.map_batches(verify, batch_format="pyarrow")
     return out.sort(["left_id", "right_id"])

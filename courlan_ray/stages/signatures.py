@@ -214,8 +214,8 @@ def sized_pool(ds, pool: int, batch_size: int) -> int:
         meta_rows = ds._meta_count()
     except Exception:
         meta_rows = None
-    if meta_rows:
-        batches = -(-int(meta_rows) // max(1, batch_size))
+    if meta_rows is not None:   # 0 rows is KNOWN-empty: cap at the floor,
+        batches = -(-int(meta_rows) // max(1, batch_size))  # not full pool
         # a cap only: never RAISE the pool above its configured size (a
         # 1-actor pool on a 2-CPU cluster must stay 1 — two actors would
         # reserve every CPU and starve the read stage)

@@ -200,8 +200,10 @@ def _verdicts(cfg: DedupConfig, *, mh_l, mh_r, ph_l, ph_r, sp_l, sp_r,
         # one searchsorted.  (A pandas explode+merge measured 67 s for
         # 160k text pairs; a hash+sort variant 27 s; this runs in ~1 s.)
         # Truncating prints to 44 bits only risks a +-1 on the LCS gate.
-        # Local ordinals keep the shift valid for any batch < 2^20 pairs
-        # (map batches are <= 8192).
+        # Local ordinals keep the shift valid for any batch < 2^20 pairs —
+        # enforced by _VERDICT_SLICE (=65536, see _sliced below), which
+        # slices every whole-block batch before it reaches this kernel.
+        # Raising _VERDICT_SLICE past 2^20 would silently corrupt keys.
         def seg_keys(flat, starts, ends):
             cnt = (ends - starts)[idx]
             fi = np.repeat(starts[idx], cnt) + _ranges_within(cnt)
@@ -268,20 +270,22 @@ _VERDICT_SLICE = 65536     # pairs per _verdicts call: bounds the (n, num_perm)
                            # kernel's 44-bit local-ordinal packing valid (< 2^20)
 
 
-def _sliced(batch: pa.Table, one) -> pa.Table:
+def _sliced(batch: pa.Table, one):
     """Apply ``one`` (a verdict kernel over <= _VERDICT_SLICE pairs) to a
     whole-block batch.  ``map_batches(batch_size=None)`` hands each task its
     block unsplit — one task per block, so an upstream ``repartition(fanout)``
     actually fans the kernel out instead of being re-bundled into
     ceil(rows/batch_size) tasks (measured: 6 tasks over a 64-way fanout at
-    44k pairs).  Oversized blocks are sliced inside the task to hold the
-    memory/ordinal bounds."""
+    44k pairs).  Oversized blocks are sliced inside the task AND their
+    outputs yielded one slice at a time (generator UDF), so the executor
+    can emit/split output blocks incrementally instead of the task holding
+    the whole output table in memory at once."""
     n = batch.num_rows
     if n <= _VERDICT_SLICE:
-        return one(batch)
-    outs = [one(batch.slice(i, _VERDICT_SLICE))
-            for i in range(0, n, _VERDICT_SLICE)]
-    return pa.concat_tables(outs)
+        yield one(batch)
+        return
+    for i in range(0, n, _VERDICT_SLICE):
+        yield one(batch.slice(i, _VERDICT_SLICE))
 
 
 def _verify_broadcast(pairs_ds, sig_ds, cfg: DedupConfig, prof=False):

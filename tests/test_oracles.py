@@ -18,6 +18,15 @@ _TABLES = ("documents", "embeddings", "events", "orders", "customer",
            "lineitem")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _oracle_side_inputs(ray_session):
+    """The pair-verify oracles (audio/video/doc_simhash) scan signature
+    parquets materialized by ensure_oracle_inputs — generate them up
+    front, exactly as __ray_entry__.oracle_sql() does for the driver."""
+    from courlan_ray.pipelines.extras import ensure_oracle_inputs
+    ensure_oracle_inputs()
+
+
 def _oracle_df(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in _TABLES:
