@@ -29,25 +29,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     Ordering matters: the driver's correctness run caps at the FIRST 50
     entries, so every query that has a DuckDB oracle is listed first (full
-    row-count + schema + value-hash check), then the rows-only extras in
-    priority order (flagship clusters, media/embedding near-dup pipelines,
-    then sketch/diagnostic variants whose exact twins are already oracled)."""
+    row-count + schema + value-hash check); the most-REDUNDANT oracled
+    diagnostics (whose base operators are themselves oracled in-window)
+    come last among the oracled so they are the ones cut if the oracled
+    count exceeds 50, then the rows-only extras in priority order.  Every
+    oracled query that falls outside the window is still verified each
+    round by tests/test_oracles.py, which runs the IDENTICAL Ray-vs-DuckDB
+    comparison under pytest."""
     from courlan_ray.pipelines.queries import QUERIES, ORACLES
     from courlan_ray.pipelines.extras import EXTRAS, EXTRA_ORACLES
 
     merged = {**QUERIES, **EXTRAS}
     oracled = {**ORACLES, **EXTRA_ORACLES}
+    # Oracled-but-redundant diagnostics, least valuable LAST (cut first):
+    # doc_quality_band is a banding of oracled doc_quality + oracled
+    # orders_price_quantiles' machinery; doc_top_term is the argmax of
+    # oracled doc_top_tokens.
+    oracled_tail = ["doc_quality_band", "doc_top_term"]
     # Rows-only entries, most valuable first (fill the window's tail).
     rows_only_priority = [
         "image_dedup_clusters",   # flagship cluster assignments
         "doc_minhash_clusters",   # text near-dup clusters
         "emb_neardup",            # embedding LSH near-dup (recall-pinned)
-        "audio_dedup_pairs",
-        "video_dedup_pairs",
         "emb_ann_lsh",
         "emb_ann_ivf",
         "doc_training_prep",
-        "doc_simhash_pairs",
         "doc_substring_lcs",
         "events_hll_users_by_type",
         "events_hll_users",
@@ -57,7 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stats",
         "video_frame_stats",
     ]
-    out = {n: merged[n] for n in merged if n in oracled}
+    out = {n: merged[n] for n in merged
+           if n in oracled and n not in oracled_tail}
+    for n in oracled_tail:
+        if n in merged and n in oracled:
+            out[n] = merged[n]
     for n in rows_only_priority:
         if n in merged and n not in out:
             out[n] = merged[n]

@@ -107,8 +107,10 @@ def run_bench() -> dict:
             r.count()
         timings[name] = round(time.time() - t0, 3)
 
-    from courlan_ray.pipelines.extras import (_AUDIO_ROWS, _VIDEO_ROWS,
+    from courlan_ray.pipelines.extras import (_AUDIO_ROWS, _HTML_ROWS,
+                                              _VIDEO_ROWS,
                                               audio_dedup_pairs,
+                                              html_extract_links,
                                               doc_decontaminate,
                                               doc_minhash_clusters,
                                               doc_ngram_jaccard,
@@ -127,6 +129,7 @@ def run_bench() -> dict:
                                               video_dedup_pairs)
     from courlan_ray.pipelines.extras import _sf_of as _extras_sf
     from courlan_ray.sources.audiosynth import synth_audio_parquet
+    from courlan_ray.sources.htmlsynth import synth_html_parquet
     from courlan_ray.sources.videosynth import synth_video_parquet
 
     # generation is untimed (cached parquet), same treatment as the image
@@ -134,6 +137,7 @@ def run_bench() -> dict:
     if known:
         synth_audio_parquet(_AUDIO_ROWS[_extras_sf(SF_DIR)], 42)
         synth_video_parquet(_VIDEO_ROWS[_extras_sf(SF_DIR)], 42)
+        synth_html_parquet(_HTML_ROWS[_extras_sf(SF_DIR)], 42)
     for name, fn in (("doc_minhash_clusters", doc_minhash_clusters),
                      ("doc_ngram_jaccard", doc_ngram_jaccard),
                      ("doc_substring_pairs", doc_substring_pairs),
@@ -153,7 +157,8 @@ def run_bench() -> dict:
                      ("events_rolling_1h_shuffle", events_rolling_1h_shuffle),
                      ("events_sessionize_shuffle", events_sessionize_shuffle),
                      ("audio_dedup_pairs", audio_dedup_pairs),
-                     ("video_dedup_pairs", video_dedup_pairs)):
+                     ("video_dedup_pairs", video_dedup_pairs),
+                     ("html_extract_links", html_extract_links)):
         t0 = time.time()
         fn(SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

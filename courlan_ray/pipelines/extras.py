@@ -947,6 +947,55 @@ def video_frame_index(sf_dir: str):
                .sort(["video_id", "frame_idx"]))
 
 
+_HTML_ROWS = {"0.001": 300, "0.01": 1000, "0.1": 3000}
+
+
+def _html_ds(sf_dir: str):
+    """Cached synthetic HTML page table for this sf (parquet under /tmp)."""
+    import ray.data as rd
+    from ..sources.htmlsynth import synth_html_parquet
+    return rd.read_parquet(synth_html_parquet(_HTML_ROWS[_sf_of(sf_dir)], 42))
+
+
+def html_extract_links(sf_dir: str):
+    """The reference's third entry point as a Dataset pipeline (reference
+    core.py:132-227, tests unit_tests.py:968-1164): HTML pages ->
+    flat-map link harvest with the REAL ``extract_links`` kernel (regex
+    <a>-tag scan, nofollow skip, relative-URL resolution, full
+    check_url canonicalization, internal/external split) -> per-(page,
+    url) dedup -> grouped count -> global sort.  One output row per
+    distinct canonical outlink with the number of pages linking to it.
+
+    Full DuckDB oracle (EXTRA_ORACLES['html_extract_links']): the SQL twin
+    re-harvests with regexp_extract_all and reproduces the resolve +
+    canonicalize chain for the controlled link shapes the synthetic corpus
+    contains (sources/htmlsynth.py documents the shape constraints); the
+    full kernel's exotic branches stay pinned by the reference-parity
+    golden tests (tests/test_urls.py, test_reference_sweep.py)."""
+    from ..functions.urls import extract_links
+    from ..stages.agg import grouped_agg
+    ds = _html_ds(sf_dir)
+
+    def harvest(b: pa.Table) -> pa.Table:
+        pids: list[str] = []
+        urls: list[str] = []
+        for pid, base, html in zip(b["page_id"].to_pylist(),
+                                   b["base_url"].to_pylist(),
+                                   b["html"].to_pylist()):
+            links = extract_links(html, url=base, external_bool=False,
+                                  strict=False, with_nav=True)
+            urls.extend(sorted(links))
+            pids.extend([pid] * len(links))
+        return pa.table({"page_id": pa.array(pids, pa.string()),
+                         "url": pa.array(urls, pa.string())})
+
+    links = ds.map_batches(harvest, batch_format="pyarrow")
+    n_pages = _HTML_ROWS[_sf_of(sf_dir)]
+    out = grouped_agg(links, ["url"], [("url", "count", "n_pages")],
+                      approx_count=n_pages * 16)
+    return out.sort("url")
+
+
 def image_dedup_clusters(sf_dir: str):
     """Flagship pipeline on the deterministic synthetic image+caption table
     sized by sf (cached parquet under /tmp)."""
@@ -999,11 +1048,13 @@ def ensure_oracle_inputs() -> None:
     the synthetic tables (and the pair-verify signature parquets)
     regardless of query/oracle run order."""
     from ..sources.audiosynth import synth_audio_parquet
+    from ..sources.htmlsynth import synth_html_parquet
     from ..sources.videosynth import synth_video_parquet
     from ..stages.multimodal import audio_features, video_signatures
     synth_parquet_path("sf0.01")   # the driver compares at sf=0.01
     synth_audio_parquet(_AUDIO_ROWS["0.01"], 42)
     synth_video_parquet(_VIDEO_ROWS["0.01"], 42)
+    synth_html_parquet(_HTML_ROWS["0.01"], 42)
     _materialize_oracle_parquet(
         "audio_feats-sf0.01",
         lambda: audio_features(_audio_ds("sf0.01"), DedupConfig()))
@@ -1095,6 +1146,8 @@ def _build_extra_oracles() -> dict[str, str]:
                  f"n{_AUDIO_ROWS['0.01']}-s42/*.parquet")
     video_001 = (f"/tmp/courlan_ray_synth_video/"
                  f"n{_VIDEO_ROWS['0.01']}-s42/*.parquet")
+    _html_glob = (f"/tmp/courlan_ray_synth_html/"
+                  f"n{_HTML_ROWS['0.01']}-s42/*.parquet")
 
     oracles = {
         "image_dedup_counters": _image_counters_sql(synth_001),
@@ -1182,6 +1235,73 @@ def _build_extra_oracles() -> dict[str, str]:
           ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY 1, 2""",
+        # HTML link-extraction twin: re-harvest <a> tags with
+        # regexp_extract_all and reproduce the resolve + canonicalize
+        # chain for the controlled shapes in sources/htmlsynth.py (scrub
+        # is identity on them; normalization branches = lowercase host,
+        # default-port strip, utm_* removal + sorted params, fragment
+        # passthrough; internal = same host since every corpus host IS
+        # its registered domain).  The full kernel's other branches are
+        # reference-parity golden-tested, not exercised by this corpus.
+        "html_extract_links": f"""
+        WITH tags AS (
+          SELECT page_id, base_url,
+                 unnest(regexp_extract_all(html, '<a [^<>]*>')) AS tag
+          FROM read_parquet('{_html_glob}')),
+        hr AS (
+          SELECT DISTINCT page_id, base_url,
+                 regexp_extract(tag, 'href="([^"]*)"', 1) AS href
+          FROM tags
+          WHERE contains(tag, 'href=') AND NOT contains(tag, 'nofollow')),
+        res AS (
+          SELECT page_id, base_url,
+            CASE WHEN href LIKE 'http%' THEN href
+                 WHEN href LIKE '//%' THEN 'https:' || href
+                 WHEN href LIKE '/%' THEN
+                   regexp_extract(base_url, '^https?://[^/]+') || href
+                 WHEN contains(href, ':') THEN href
+                 ELSE regexp_replace(base_url, '[^/]*$', '') || href
+            END AS u
+          FROM hr),
+        g1 AS (
+          SELECT page_id, base_url, u FROM res
+          WHERE u LIKE 'http%' AND length(u) >= 10 AND length(u) < 500
+            AND NOT ends_with(u, '/feed') AND NOT ends_with(u, '/rss')
+            AND NOT ends_with(u, '_archive.html')),
+        parts AS (
+          SELECT page_id, base_url, u,
+            lower(regexp_extract(u, '^(https?)://', 1)) AS sch,
+            lower(regexp_extract(u, '^https?://([^/?#]+)', 1)) AS hostport,
+            regexp_extract(u, '^https?://[^/?#]+([^?#]*)', 1) AS pth,
+            CASE WHEN contains(u, '?')
+                 THEN regexp_extract(u, '[?]([^#]*)', 1) ELSE '' END AS q,
+            CASE WHEN contains(u, '#')
+                 THEN regexp_extract(u, '#(.*)$', 1) ELSE '' END AS frag
+          FROM g1),
+        norm AS (
+          SELECT page_id, base_url, sch, pth, frag,
+            regexp_replace(hostport, ':(80|443)$', '') AS host,
+            CASE WHEN q = '' THEN ''
+                 ELSE list_aggregate(list_sort(list_filter(
+                        str_split(q, '&'),
+                        x -> NOT starts_with(lower(x), 'utm_'))),
+                      'string_agg', '&')
+            END AS cq
+          FROM parts),
+        valid AS (
+          SELECT page_id,
+            sch || '://' || host || pth
+              || CASE WHEN cq IS NOT NULL AND cq <> ''
+                      THEN '?' || cq ELSE '' END
+              || CASE WHEN frag <> '' THEN '#' || frag ELSE '' END AS url
+          FROM norm
+          WHERE length(host) >= 4 AND contains(host, '.')
+            AND NOT regexp_matches(pth, '[.](jpg|jpeg|png|gif|mp4|mp3)$')
+            AND host = lower(regexp_extract(base_url,
+                                            '^https?://([^/?#]+)', 1))),
+        dedup AS (SELECT DISTINCT page_id, url FROM valid)
+        SELECT url, CAST(count(*) AS BIGINT) AS n_pages
+        FROM dedup GROUP BY url ORDER BY url""",
         # exact heavy hitters: same token class as the engine kernel
         "doc_top_tokens": r"""
         WITH t AS (
@@ -1551,6 +1671,7 @@ EXTRAS = {
     "emb_neardup": emb_neardup,
     "emb_neardup_exact": emb_neardup_exact,
     "image_dedup_clusters": image_dedup_clusters,
+    "html_extract_links": html_extract_links,
     "image_dedup_counters": image_dedup_counters,
     "audio_dedup_pairs": audio_dedup_pairs,
     "audio_decode_stats": audio_decode_stats,
