@@ -220,8 +220,14 @@ def doc_substring_pairs(sf_dir: str):
 def doc_substring_lcs(sf_dir: str):
     """Exact longest-common-substring length for every pair sharing a
     32-byte substring, via the generalized suffix array
-    (functions/suffixarray.lcs_len) — not SQL-expressible (rows-only);
-    DP-parity and lcs_len >= width pinned in tests/test_substring.py."""
+    (functions/suffixarray.lcs_len).  Full DuckDB oracle
+    (EXTRA_ORACLES['doc_substring_lcs']): LCS >= 32 is recomputable in
+    SQL as 31 + the longest DIAGONAL RUN of matching 32-grams — grams
+    with positions self-joined on equality, runs found with the
+    gaps-and-islands window trick (pos - row_number per (pair, pos_l -
+    pos_r) diagonal).  Byte/char equivalence holds because the documents
+    table is ASCII (asserted for the suite in tests/test_substring.py);
+    DP-parity also pinned there."""
     from ..stages.substring import substring_lcs
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return substring_lcs(ds, width=32, seed=37)
@@ -1302,6 +1308,34 @@ def _build_extra_oracles() -> dict[str, str]:
         dedup AS (SELECT DISTINCT page_id, url FROM valid)
         SELECT url, CAST(count(*) AS BIGINT) AS n_pages
         FROM dedup GROUP BY url ORDER BY url""",
+        # exact LCS (>= 32) in SQL: a common substring of length L gives
+        # L-31 consecutive matching 32-grams on ONE diagonal (pos_l -
+        # pos_r), so LCS = 31 + the longest gaps-and-islands run over the
+        # gram-match position pairs.  Exact on the ASCII documents table
+        # (byte == char); same candidate pair set as doc_substring_pairs.
+        "doc_substring_lcs": """
+        WITH gs AS (SELECT i FROM generate_series(1, 65536) t(i)),
+        g AS (
+          SELECT d.doc_id, gs.i AS pos,
+                 substring(d.text, gs.i::INT, 32) AS gram
+          FROM documents d JOIN gs ON gs.i <= length(d.text) - 31),
+        m AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 a.pos AS ia, b.pos AS ib
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        runs AS (
+          SELECT left_id, right_id, ia - ib AS diag,
+                 ia - row_number() OVER (
+                   PARTITION BY left_id, right_id, ia - ib
+                   ORDER BY ia) AS grp
+          FROM m),
+        counts AS (
+          SELECT left_id, right_id, diag, grp, count(*) AS run_len
+          FROM runs GROUP BY ALL)
+        SELECT left_id, right_id,
+               CAST(max(run_len) + 31 AS BIGINT) AS lcs_len
+        FROM counts GROUP BY left_id, right_id
+        ORDER BY left_id, right_id""",
         # exact heavy hitters: same token class as the engine kernel
         "doc_top_tokens": r"""
         WITH t AS (

@@ -275,3 +275,14 @@ def test_cosine_pairs_exact_refuses_above_max_rows(ray_session):
     # at-or-below the bound still runs
     out = cosine_pairs_exact(rd.from_arrow(t), 0.99, max_rows=50)
     assert out.to_pandas() is not None
+
+
+def test_documents_ascii_byte_char_equivalence():
+    """The doc_substring_lcs DuckDB oracle computes char-based SQL
+    substrings while the Python kernel is byte-based: exact only while
+    the driver's documents tables are pure ASCII — pin that."""
+    import pyarrow.parquet as pq
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(f"/root/testdata/{sf}/documents.parquet",
+                          columns=["text"])
+        assert all(s.isascii() for s in t["text"].to_pylist())
