@@ -120,30 +120,6 @@ LOCALE_SCRIPTS = frozenset(
 
 # common multi-label public suffixes (compact embedded subset; stands in
 # for the `tld` package, urlutils.py:24-42)
-_TWO_LABEL_SUFFIXES = frozenset(
-    "co.uk org.uk ac.uk gov.uk me.uk net.uk sch.uk com.au net.au org.au "
-    "edu.au gov.au asn.au id.au com.br net.br org.br gov.br com.cn net.cn "
-    "org.cn gov.cn com.mx org.mx gob.mx co.jp ne.jp or.jp ac.jp go.jp "
-    "co.kr or.kr go.kr ac.kr co.in net.in org.in firm.in gen.in ind.in "
-    "co.nz net.nz org.nz govt.nz ac.nz co.za net.za org.za gov.za web.za "
-    "com.ar net.ar org.ar gob.ar com.tr net.tr org.tr gov.tr com.sg "
-    "com.my com.hk com.tw org.tw idv.tw com.ua net.ua gov.ua in.ua "
-    "com.pl net.pl org.pl gov.pl waw.pl co.il org.il ac.il gov.il "
-    "com.ru net.ru org.ru msk.ru spb.ru com.eg com.sa com.ng com.gh "
-    "co.id or.id ac.id web.id com.vn net.vn org.vn com.ph net.ph org.ph "
-    "plc.uk ltd.uk nhs.uk police.uk mod.uk gv.at priv.at co.at or.at "
-    "ac.at asso.fr gouv.fr tm.fr nom.fr gob.es nom.es gob.pe gob.cl "
-    "gob.ve gob.ec gob.bo gob.do gob.gt gob.hn gob.ni gob.pa gob.sv "
-    "gub.uy co.th in.th go.th ac.th or.th co.ke or.ke go.ke ac.ke "
-    "co.tz go.tz ac.tz co.ug go.ug ac.ug co.ma gov.ma press.ma "
-    "kiev.ua lviv.ua odessa.ua muni.il k12.il idf.il sch.sa med.sa "
-    "pub.sa github.io gitlab.io blogspot.com wordpress.com".split())
-
-# generic second-level labels that mark a three-label registered domain
-# under ccTLDs absent from the compact table above (e.g. com.bd, org.pk)
-_GENERIC_SLD_LABELS = frozenset(
-    "com org net gov edu mil ac co or ne go".split())
-
 _SCHEME_RE = re.compile(r"https?://", re.I)
 _MARKUP_REST_RE = re.compile(r"</?[a-z]{0,4}?>|\{.+?\}")   # {0,4}: '<>' too
                                                            # (clean.py:22)
@@ -447,9 +423,10 @@ def clean_url(url: str, language: str | None = None) -> str | None:
 # ------------------------------------------------------------ domain logic
 
 def get_tldinfo(url: str, fast: bool = False) -> tuple[str | None, str | None]:
-    """(domain_label, registered_domain) via regex fast path with an
-    embedded public-suffix-subset fallback (cf. urlutils.py:24-42; the
-    ``tld`` package is replaced by the compact suffix table)."""
+    """(domain_label, registered_domain) via regex fast path with full
+    public-suffix-list resolution (cf. urlutils.py:24-42; the ``tld``
+    package is replaced by the vendored Mozilla PSL snapshot in
+    functions/psl.py — same data, same algorithm)."""
     if not url or not isinstance(url, str):
         return None, None
     if fast:
@@ -467,18 +444,16 @@ def get_tldinfo(url: str, fast: bool = False) -> tuple[str | None, str | None]:
     host = _WWW_PREFIX_RE.sub("", host)
     if not host or "." not in host:
         return None, None
-    labels = host.split(".")
-    if len(labels) >= 3 and (
-            ".".join(labels[-2:]) in _TWO_LABEL_SUFFIXES
-            # generic second-level label under a ccTLD missing from the
-            # compact suffix table (e.g. example.com.bd): the reference's
-            # tld library registers three labels; without this fallback
-            # unrelated hosts would share one "registered domain"
-            or (labels[-2] in _GENERIC_SLD_LABELS and len(labels[-1]) == 2
-                and labels[-1].isalpha())):
-        registered = ".".join(labels[-3:])
-    else:
-        registered = ".".join(labels[-2:])
+    # full vendored public-suffix list (functions/psl.py) — the same
+    # Mozilla PSL (ICANN + private sections) the reference's ``tld``
+    # package resolves against (urlutils.py:24-58)
+    from .psl import registrable_domain
+    registered = registrable_domain(host)
+    if registered is None:
+        # host IS a public suffix: keep the historical lenient 2-label
+        # fallback (the reference returns a result here too — tld's
+        # fix_protocol path — rather than failing hard)
+        registered = ".".join(host.split(".")[-2:])
     return registered.split(".", 1)[0], registered
 
 
