@@ -72,8 +72,12 @@ def run_bench() -> dict:
     # startup, not dedup throughput — a long-lived production cluster
     # never pays it per job — so it sits outside the timed region, at
     # every parallelism level equally (the scaling runs inherit this).
-    _warm = ray.remote(num_cpus=1)(lambda: 0)
-    ray.get([_warm.remote() for _ in range(NCPU)])
+    # RAY_GRAFT_NO_WARMUP=1 reproduces the round-3 measurement boundary
+    # (spin-up inside the timed region) so the two methodologies can be
+    # compared on one tree — see BASELINE.md "measurement boundary" note.
+    if not os.environ.get("RAY_GRAFT_NO_WARMUP"):
+        _warm = ray.remote(num_cpus=1)(lambda: 0)
+        ray.get([_warm.remote() for _ in range(NCPU)])
 
     t0 = time.time()
     out = dedup_pipeline(rd.read_parquet(path), DedupConfig())

@@ -23,6 +23,10 @@ import numpy as np
 import pyarrow as pa
 
 # --- find-wordpress-urls.py:60-91 (find_target) ---
+# ordered=True parity mode collects the line stream on the driver; cap it
+# (~60 B/row -> ~300 MB) so the scale path must be chosen explicitly
+_ORDERED_PARITY_MAX_ROWS = 5_000_000
+
 _WP_HOST = re.compile(r"https?://.+?\.wordpress\.[a-z]{2,3}")
 _WP_FILES = re.compile(r"\.files\.wordpress\.")
 _WP_HOST_CAP = re.compile(r"(htt.+?\.wordpress\.[a-z]{2,3})/?")
@@ -121,7 +125,15 @@ def wordpress_sources(ds, *, lax: bool = False, text_col: str = "text",
         firsts = grouped_agg(cand, ["host"], [("target", "min", "target")])
         return firsts.select_columns(["host", "target"])
 
-    # parity mode: global line numbers (bounded input; order matters)
+    # parity mode: global line numbers (bounded input; order matters).
+    # Guarded like every other driver-side path: refuse before collecting
+    # rather than OOM the driver on an unbounded crawl list.
+    n = ds.count()
+    if n > _ORDERED_PARITY_MAX_ROWS:
+        raise ValueError(
+            f"wordpress_sources(ordered=True) is the bounded reference-"
+            f"parity mode (<= {_ORDERED_PARITY_MAX_ROWS} rows); got {n}. "
+            f"Use ordered=False (distributed, order-free) at scale.")
     tbl = ds.to_pandas()
     tbl["__line"] = np.arange(len(tbl), dtype=np.int64)
     cand = rd.from_pandas(tbl).map_batches(kernel, batch_format="pyarrow")

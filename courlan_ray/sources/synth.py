@@ -56,8 +56,17 @@ def _h(i: np.ndarray, seed: int, salt: int) -> np.ndarray:
                       ^ splitmix64(np.asarray([(seed << 8) + salt], dtype=_U64)))
 
 
-def row_plan(idx: np.ndarray, seed: int) -> dict[str, np.ndarray]:
-    """Vectorized plan: kind, content_id, quality, dims for each index."""
+def row_plan(idx: np.ndarray, seed: int,
+             hot_permille: int = 10) -> dict[str, np.ndarray]:
+    """Vectorized plan: kind, content_id, quality, dims for each index.
+
+    ``hot_permille`` widens the constant-caption hot band (default ~1% of
+    body rows) for skew-robustness probes — e.g. 200 plants ~20% identical
+    captions, the hot-band scenario north_rule's salting requirement is
+    about.  The widened band eats only into ORIG singletons, so every
+    other planted kind keeps its population and truth."""
+    if not 1 <= hot_permille <= 780:
+        raise ValueError("hot_permille must be in [1, 780]")
     idx = np.asarray(idx, dtype=np.int64)
     r = _h(idx, seed, 1) % _U64(1000)
     kind = np.full(idx.shape, KIND_ORIG, dtype=np.int8)
@@ -70,7 +79,7 @@ def row_plan(idx: np.ndarray, seed: int) -> dict[str, np.ndarray]:
     kind[body & (r >= 150) & (r < 170)] = KIND_SUB
     kind[body & (r >= 170) & (r < 200)] = KIND_DIRT
     kind[body & (r >= 200) & (r < 220)] = KIND_INVALID
-    kind[body & (r >= 220) & (r < 230)] = KIND_HOT
+    kind[body & (r >= 220) & (r < 220 + hot_permille)] = KIND_HOT
 
     source = (_h(idx, seed, 2) % npool.astype(_U64)).astype(np.int64) * 10
     dup = np.isin(kind, (KIND_EXACT, KIND_IMG, KIND_CAP, KIND_SUB, KIND_DIRT))
@@ -147,9 +156,10 @@ def make_image(content_id: int, size: int, seed: int) -> np.ndarray:
     return img.clip(0, 255).astype(np.uint8)
 
 
-def generate_rows(idx: np.ndarray, seed: int) -> pa.Table:
+def generate_rows(idx: np.ndarray, seed: int,
+                  hot_permille: int = 10) -> pa.Table:
     """Generate the input_hint-shaped table for a batch of indices."""
-    plan = row_plan(idx, seed)
+    plan = row_plan(idx, seed, hot_permille)
     n = len(idx)
     ids, payloads, ws, hs, fmts, caps, phashes = [], [], [], [], [], [], []
     for j in range(n):
@@ -190,12 +200,12 @@ def generate_rows(idx: np.ndarray, seed: int) -> pa.Table:
 
 
 def synth_dataset(n: int, seed: int = 42, *, concurrency: int | None = None,
-                  batch_size: int = 1024):
+                  batch_size: int = 1024, hot_permille: int = 10):
     """Lazy Ray Dataset of n synthetic rows (parallel deterministic gen)."""
     import ray.data as rd
 
     def gen(batch: pa.Table) -> pa.Table:
-        return generate_rows(batch["id"].to_numpy(), seed)
+        return generate_rows(batch["id"].to_numpy(), seed, hot_permille)
 
     ds = rd.range(n).map_batches(gen, batch_format="pyarrow",
                                  batch_size=batch_size,
@@ -204,39 +214,42 @@ def synth_dataset(n: int, seed: int = 42, *, concurrency: int | None = None,
 
 
 def synth_parquet(n: int, seed: int = 42, root: str = "/tmp/courlan_ray_synth",
-                  *, batch_size: int = 1024) -> str:
+                  *, batch_size: int = 1024, hot_permille: int = 10) -> str:
     """Generate (once) and cache the synthetic table as parquet; returns the
     directory.  Tests and benchmarks read from here so pipeline re-executions
     re-read cheap parquet instead of re-synthesizing pixels."""
     import os
 
-    out = os.path.join(root, f"n{n}-s{seed}")
+    suffix = "" if hot_permille == 10 else f"-h{hot_permille}"
+    out = os.path.join(root, f"n{n}-s{seed}{suffix}")
     done = os.path.join(out, "_SUCCESS")
     if not os.path.exists(done):
         import shutil
         shutil.rmtree(out, ignore_errors=True)
         # many small files: read parallelism should never be capped by the
         # file count (16 files would cap a 32-CPU read at 16 tasks)
-        synth_dataset(n, seed, batch_size=batch_size).write_parquet(
+        synth_dataset(n, seed, batch_size=batch_size,
+                      hot_permille=hot_permille).write_parquet(
             out, min_rows_per_file=batch_size, max_rows_per_file=batch_size)
         with open(done, "w") as fh:
             fh.write("ok")
     return out
 
 
-def synth_table(n: int, seed: int = 42) -> pa.Table:
+def synth_table(n: int, seed: int = 42, hot_permille: int = 10) -> pa.Table:
     """Driver-side table for unit tests (small n only)."""
-    return generate_rows(np.arange(n, dtype=np.int64), seed)
+    return generate_rows(np.arange(n, dtype=np.int64), seed, hot_permille)
 
 
-def truth_tables(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+def truth_tables(n: int, seed: int = 42,
+                 hot_permille: int = 10) -> tuple[pa.Table, pa.Table]:
     """(truth_pairs, truth_clusters) derived from the pure row plan.
 
     truth_pairs: (left_id, right_id, kind) one row per planted duplicate.
     truth_clusters: (image_id, cluster_id) for every valid row; cluster_id =
     min image_id of the content group (order-free determinism, SURVEY.md §4).
     """
-    plan = row_plan(np.arange(n, dtype=np.int64), seed)
+    plan = row_plan(np.arange(n, dtype=np.int64), seed, hot_permille)
     kind, cid, idx = plan["kind"], plan["content_id"], plan["idx"]
     valid = kind != KIND_INVALID
     # group key: content id, except hot rows which share one caption cluster

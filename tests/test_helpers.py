@@ -78,3 +78,18 @@ def test_wordpress_sources_unordered_scale_mode():
     # same host set; one row per host; targets all valid roots
     assert sorted(got["host"]) == sorted(ordered["host"])
     assert got["target"].str.startswith(("http://", "https://")).all()
+
+
+def test_wordpress_ordered_mode_refuses_oversize(ray_session, monkeypatch):
+    """ordered=True is the bounded driver-parity path: it must refuse an
+    input past its declared cap instead of collecting it."""
+    import pytest
+    import ray.data as rd
+    from courlan_ray.pipelines import helpers
+
+    monkeypatch.setattr(helpers, "_ORDERED_PARITY_MAX_ROWS", 3)
+    ds = rd.from_items([{"text": u} for u in WP_URLS])
+    with pytest.raises(ValueError, match="ordered=False"):
+        helpers.wordpress_sources(ds, ordered=True)
+    # the scale path still works on the same input
+    assert helpers.wordpress_sources(ds, ordered=False).count() >= 1

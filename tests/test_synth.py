@@ -86,3 +86,29 @@ def test_read_table_dispatch(tmp_path):
             read_table(str(tmp_path / "t.lance"))
     else:   # pragma: no cover - no lance wheel in this sandbox
         pytest.skip("lance installed: dispatch path exercised elsewhere")
+
+
+def test_hot_permille_widens_only_the_hot_band():
+    """The skew-probe knob: a widened hot band converts ORIG singletons to
+    hot rows and leaves every other planted kind (and its truth) intact."""
+    n = 4000
+    base = synth.row_plan(np.arange(n), 42)
+    skew = synth.row_plan(np.arange(n), 42, hot_permille=200)
+    hot_b = (base["kind"] == synth.KIND_HOT).sum()
+    hot_s = (skew["kind"] == synth.KIND_HOT).sum()
+    assert hot_s > 10 * hot_b                     # ~1% -> ~18% of all rows
+    assert 0.15 < hot_s / n < 0.22
+    # rows that changed kind were all ORIG before and HOT after
+    moved = base["kind"] != skew["kind"]
+    assert (base["kind"][moved] == synth.KIND_ORIG).all()
+    assert (skew["kind"][moved] == synth.KIND_HOT).all()
+    # generated rows agree with the plan: every hot row carries THE caption
+    t = synth.synth_table(512, seed=42, hot_permille=200).to_pandas()
+    plan = synth.row_plan(np.arange(512), 42, 200)
+    assert (t.loc[plan["kind"] == synth.KIND_HOT, "caption"]
+            == synth.HOT_CAPTION).all()
+    # truth: all hot rows share one cluster
+    _, clusters = synth.truth_tables(512, 42, hot_permille=200)
+    cdf = clusters.to_pandas().set_index("image_id")["cluster_id"]
+    hot_ids = t.loc[plan["kind"] == synth.KIND_HOT, "image_id"]
+    assert cdf.loc[hot_ids].nunique() == 1
