@@ -199,7 +199,7 @@ def main() -> None:
     import ray
     import ray.data as rd
     kw = {}
-    if args.mode == "spill":
+    if args.mode == "spill" and args.store_gb > 0:  # 0 = unconstrained control
         kw["object_store_memory"] = int(args.store_gb * (1 << 30))
     ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
              logging_level="ERROR", **kw)
