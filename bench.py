@@ -35,6 +35,21 @@ def _sf(sf_dir: str) -> float:
         return -1.0
 
 
+def _calib_sec() -> float:
+    """Single-core matmul seconds — an objective probe of the shared
+    host's CURRENT speed, reported alongside every bench record so
+    cross-round wall-clock comparisons can be normalized (the host swings
+    0.42 s healthy to 1.8+ s degraded, a >2.5x wall-time factor on
+    identical code — see BASELINE.md 'Host-speed context')."""
+    import numpy as np
+    a = np.random.default_rng(0).random((1200, 1200))
+    t0 = time.time()
+    for _ in range(6):
+        a = a @ a
+        a /= np.abs(a).max()
+    return round(time.time() - t0, 2)
+
+
 def run_bench() -> dict:
     import ray
     import ray.data as rd
@@ -178,6 +193,7 @@ def run_bench() -> dict:
         "rows_clustered": n_clustered,
         "recall": recall,
         "images_per_sec": round(n_rows / headline, 1),
+        "host_calib_sec": _calib_sec(),
     }
 
 
