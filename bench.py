@@ -24,6 +24,7 @@ import subprocess
 import sys
 import time
 
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -40,14 +41,26 @@ def _calib_sec() -> float:
     host's CURRENT speed, reported alongside every bench record so
     cross-round wall-clock comparisons can be normalized (the host swings
     0.42 s healthy to 1.8+ s degraded, a >2.5x wall-time factor on
-    identical code — see BASELINE.md 'Host-speed context')."""
-    import numpy as np
-    a = np.random.default_rng(0).random((1200, 1200))
-    t0 = time.time()
-    for _ in range(6):
-        a = a @ a
-        a /= np.abs(a).max()
-    return round(time.time() - t0, 2)
+    identical code — see BASELINE.md 'Host-speed context').  Runs in a
+    subprocess with BLAS pinned to ONE thread so the probe measures the
+    same thing on any host/env; on this host pinned and unpinned are
+    within noise (1.35 vs 1.29 s, measured side by side), so historical
+    unpinned calib records remain comparable."""
+    code = ("import time, numpy as np\n"
+            "a = np.random.default_rng(0).random((1200, 1200))\n"
+            "t0 = time.time()\n"
+            "for _ in range(6):\n"
+            "    a = a @ a\n"
+            "    a /= np.abs(a).max()\n"
+            "print(round(time.time() - t0, 2))\n")
+    env = {**os.environ, "OMP_NUM_THREADS": "1",
+           "OPENBLAS_NUM_THREADS": "1", "MKL_NUM_THREADS": "1"}
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=120)
+        return float(out.stdout.strip())
+    except Exception:   # never let the probe sink the bench
+        return -1.0
 
 
 def run_bench() -> dict:
@@ -90,7 +103,7 @@ def run_bench() -> dict:
     # RAY_GRAFT_NO_WARMUP=1 reproduces the round-3 measurement boundary
     # (spin-up inside the timed region) so the two methodologies can be
     # compared on one tree — see BASELINE.md "measurement boundary" note.
-    if not os.environ.get("RAY_GRAFT_NO_WARMUP"):
+    if os.environ.get("RAY_GRAFT_NO_WARMUP", "0").lower() in ("", "0", "false"):
         _warm = ray.remote(num_cpus=1)(lambda: 0)
         ray.get([_warm.remote() for _ in range(NCPU)])
 

@@ -1029,22 +1029,58 @@ _ORACLE_SIG_ROOT = "/tmp/courlan_ray_oracle_sigs"
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
+_KERNEL_FP: list[str] = []
+
+
+def _kernel_fingerprint() -> str:
+    """Hash of the signature-producing kernel sources + config defaults.
+    Keys the oracle-side parquet cache so a kernel or DedupConfig change
+    can never feed a STALE signature table to the pair-verify oracles
+    (the sibling synth caches key on (n, seed); these tables' content is a
+    pure function of the kernel code, so the code itself is the key)."""
+    if not _KERNEL_FP:
+        import hashlib
+        import inspect
+
+        import sys
+
+        from .. import config as _cfg
+        from ..functions import audiocodec, hashing, videocodec
+        from ..stages import multimodal
+        h = hashlib.sha256()
+        mods = (multimodal, audiocodec, videocodec, hashing, _cfg,
+                sys.modules[__name__])   # extras itself: _doc_simhash_i64
+        for mod in mods:
+            h.update(inspect.getsource(mod).encode())
+        _KERNEL_FP.append(h.hexdigest()[:12])
+    return _KERNEL_FP[0]
+
+
 def _materialize_oracle_parquet(tag: str, make_ds) -> str:
     """Write (once) a deterministic signature/feature table to parquet so
     the DuckDB oracle can recompute every pair verdict independently
     (brute-force self-join) from the same signatures the Ray pipeline
-    bands + verifies.  Returns the parquet glob the SQL scans."""
+    bands + verifies.  Returns the parquet glob the SQL scans.  The
+    _SUCCESS marker stores the kernel fingerprint: editing any signature
+    kernel or config default rebuilds the cache instead of letting a
+    STALE table feed the oracle (the path itself stays fixed because the
+    oracle SQL strings embed it)."""
     import os
     import shutil
 
+    fp = _kernel_fingerprint()
     out = os.path.join(_ORACLE_SIG_ROOT, tag)
     done = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(done):
+    fresh = False
+    if os.path.exists(done):
+        with open(done) as fh:
+            fresh = fh.read().strip() == fp
+    if not fresh:
         shutil.rmtree(out, ignore_errors=True)
         make_ds().write_parquet(out, min_rows_per_file=512,
                                 max_rows_per_file=512)
         with open(done, "w") as fh:
-            fh.write("ok")
+            fh.write(fp)
     return os.path.join(out, "*.parquet")
 
 

@@ -127,7 +127,9 @@ def wordpress_sources(ds, *, lax: bool = False, text_col: str = "text",
 
     # parity mode: global line numbers (bounded input; order matters).
     # Guarded like every other driver-side path: refuse before collecting
-    # rather than OOM the driver on an unbounded crawl list.
+    # rather than OOM the driver on an unbounded crawl list.  Materialize
+    # once so count() + to_pandas() don't execute the upstream chain twice.
+    ds = ds.materialize()
     n = ds.count()
     if n > _ORDERED_PARITY_MAX_ROWS:
         raise ValueError(

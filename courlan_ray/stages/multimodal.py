@@ -356,7 +356,6 @@ def video_dedup_pairs(ds, cfg: DedupConfig, *, n_frames: int = 4,
         # columns for the eligible (non-empty, equal-length) rows — the
         # flattened value arrays then align slot-for-slot — segmented XOR
         # popcount via the shared simhash kernel, per-row max by reduceat.
-        import pyarrow.compute as pc
         from .simhash_pairs import _ham64
         empty = pa.table({"left_id": pa.array([], pa.string()),
                           "right_id": pa.array([], pa.string()),
