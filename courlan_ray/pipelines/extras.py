@@ -1066,21 +1066,11 @@ def _materialize_oracle_parquet(tag: str, make_ds) -> str:
     STALE table feed the oracle (the path itself stays fixed because the
     oracle SQL strings embed it)."""
     import os
-    import shutil
 
-    fp = _kernel_fingerprint()
-    out = os.path.join(_ORACLE_SIG_ROOT, tag)
-    done = os.path.join(out, "_SUCCESS")
-    fresh = False
-    if os.path.exists(done):
-        with open(done) as fh:
-            fresh = fh.read().strip() == fp
-    if not fresh:
-        shutil.rmtree(out, ignore_errors=True)
-        make_ds().write_parquet(out, min_rows_per_file=512,
-                                max_rows_per_file=512)
-        with open(done, "w") as fh:
-            fh.write(fp)
+    from ..sources.cache import cached_parquet
+
+    out = cached_parquet(os.path.join(_ORACLE_SIG_ROOT, tag), make_ds,
+                         rows_per_file=512, marker=_kernel_fingerprint())
     return os.path.join(out, "*.parquet")
 
 

@@ -220,20 +220,16 @@ def synth_parquet(n: int, seed: int = 42, root: str = "/tmp/courlan_ray_synth",
     re-read cheap parquet instead of re-synthesizing pixels."""
     import os
 
+    from .cache import cached_parquet
+
     suffix = "" if hot_permille == 10 else f"-h{hot_permille}"
-    out = os.path.join(root, f"n{n}-s{seed}{suffix}")
-    done = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(done):
-        import shutil
-        shutil.rmtree(out, ignore_errors=True)
-        # many small files: read parallelism should never be capped by the
-        # file count (16 files would cap a 32-CPU read at 16 tasks)
-        synth_dataset(n, seed, batch_size=batch_size,
-                      hot_permille=hot_permille).write_parquet(
-            out, min_rows_per_file=batch_size, max_rows_per_file=batch_size)
-        with open(done, "w") as fh:
-            fh.write("ok")
-    return out
+    # many small files: read parallelism should never be capped by the
+    # file count (16 files would cap a 32-CPU read at 16 tasks)
+    return cached_parquet(
+        os.path.join(root, f"n{n}-s{seed}{suffix}"),
+        lambda: synth_dataset(n, seed, batch_size=batch_size,
+                              hot_permille=hot_permille),
+        rows_per_file=batch_size)
 
 
 def synth_table(n: int, seed: int = 42, hot_permille: int = 10) -> pa.Table:

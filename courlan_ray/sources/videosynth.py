@@ -131,13 +131,8 @@ def synth_video_parquet(n: int, seed: int = 42,
     the DuckDB oracle SQL can scan the same files by path."""
     import os
 
-    out = os.path.join(root, f"n{n}-s{seed}")
-    done = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(done):
-        import shutil
-        shutil.rmtree(out, ignore_errors=True)
-        synth_video_dataset(n, seed).write_parquet(
-            out, min_rows_per_file=64, max_rows_per_file=64)
-        with open(done, "w") as fh:
-            fh.write("ok")
-    return out
+    from .cache import cached_parquet
+
+    return cached_parquet(os.path.join(root, f"n{n}-s{seed}"),
+                          lambda: synth_video_dataset(n, seed),
+                          rows_per_file=64)

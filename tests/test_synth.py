@@ -112,3 +112,31 @@ def test_hot_permille_widens_only_the_hot_band():
     cdf = clusters.to_pandas().set_index("image_id")["cluster_id"]
     hot_ids = t.loc[plan["kind"] == synth.KIND_HOT, "image_id"]
     assert cdf.loc[hot_ids].nunique() == 1
+
+
+def test_cached_parquet_write_once_and_marker_staleness(tmp_path, ray_session):
+    """The shared write-once cache: second call with the same marker skips
+    the write; a marker change (e.g. kernel fingerprint) rebuilds; a
+    partial dir without a marker is wiped and rebuilt."""
+    import os
+
+    import ray.data as rd
+
+    from courlan_ray.sources.cache import cached_parquet
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        return rd.range(10)
+
+    out = str(tmp_path / "t")
+    cached_parquet(out, make, rows_per_file=4)
+    cached_parquet(out, make, rows_per_file=4)
+    assert len(calls) == 1                      # write-once
+    cached_parquet(out, make, rows_per_file=4, marker="fp2")
+    assert len(calls) == 2                      # stale marker rebuilds
+    os.remove(os.path.join(out, "_SUCCESS"))    # simulate crashed write
+    cached_parquet(out, make, rows_per_file=4, marker="fp2")
+    assert len(calls) == 3
+    assert rd.read_parquet(out).count() == 10
