@@ -24,7 +24,6 @@ import subprocess
 import sys
 import time
 
-
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
