@@ -51,10 +51,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # case of oracled doc_group_sample's segmented-rank sampler;
     # events_distinct_types = trivial distinct (doc_distinct_sorted is the
     # oracled distinct+sort); orders_price_quantiles = global case of the
-    # oracled per-group quantiles.  All five remain pytest-oracled.
-    oracled_tail = ["orders_price_quantiles", "events_distinct_types",
-                    "doc_sample_uniform", "doc_quality_band",
-                    "doc_top_term"]
+    # oracled per-group quantiles; doc_repetition = per-doc top-token
+    # argmax, machinery shared with doc_top_term/doc_quality.  All six
+    # remain pytest-oracled.
+    oracled_tail = ["doc_repetition", "orders_price_quantiles",
+                    "events_distinct_types", "doc_sample_uniform",
+                    "doc_quality_band", "doc_top_term"]
     # Rows-only entries, most valuable first (top 3 enter the window).
     rows_only_priority = [
         "image_dedup_clusters",   # flagship cluster assignments

@@ -416,6 +416,48 @@ def doc_top_term(sf_dir: str):
                           1, approx_groups=n_docs).sort("doc_id")
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signal (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition filters): per document,
+    the fraction of tokens taken by the single most frequent token
+    (``top_frac`` — boilerplate/keyword-stuffed pages score high) plus the
+    token itself (smallest lexicographically among ties, deterministic).
+    Complements doc_quality's ``unique_ratio`` (distinct/total): a doc can
+    have middling unique_ratio but one token covering 40% of it.  One
+    row-local ``map_batches`` pass — a document lives in one row, so
+    per-doc counts never shuffle, the shape that holds at 10^12 rows.
+    Full DuckDB oracle (EXTRA_ORACLES['doc_repetition'])."""
+    from ..functions.textstats import _explode_tokens
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = pd.Series(b["text"].to_pylist())
+        flat, doc = _explode_tokens(texts)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        top_n = np.zeros(n, dtype=np.int64)
+        top_tok = np.full(n, "", dtype=object)
+        if len(flat):
+            c = (pd.DataFrame({"d": doc, "t": flat.to_numpy(dtype=object)})
+                 .groupby(["d", "t"], sort=False).size().reset_index(name="n"))
+            tot = c.groupby("d", sort=False)["n"].sum()
+            n_tokens[tot.index.to_numpy()] = tot.to_numpy()
+            # (count desc, token asc) per doc; stable sort -> first wins
+            c = c.sort_values(["d", "n", "t"], ascending=[True, False, True],
+                              kind="mergesort").drop_duplicates("d")
+            top_n[c["d"].to_numpy()] = c["n"].to_numpy(dtype=np.int64)
+            top_tok[c["d"].to_numpy()] = c["t"].to_numpy(dtype=object)
+        frac = np.where(n_tokens > 0,
+                        _round4(top_n / np.maximum(n_tokens, 1)), 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tokens),
+                         "top_token": pa.array(top_tok, pa.string()),
+                         "top_frac": pa.array(frac, pa.float64())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
 def doc_pack_assign(sf_dir: str, budget: int = 512):
     """Sequence packing: assign documents (in doc_id order) to fixed
     token-budget training packs by bucketing the exclusive running token
@@ -1379,6 +1421,27 @@ def _build_extra_oracles() -> dict[str, str]:
                     WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
                     THEN 'val' ELSE 'test' END AS split
         FROM documents ORDER BY doc_id""",
+        # Gopher-style repetition: most frequent token per doc (ties ->
+        # smallest token), fraction half-up-rounded in the same IEEE order
+        "doc_repetition": r"""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_extract_all(
+                   lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?')) AS token
+          FROM documents),
+        c AS (SELECT doc_id, token, count(*) AS n FROM t GROUP BY 1, 2),
+        a AS (SELECT doc_id, sum(n) AS n_tokens FROM c GROUP BY 1),
+        r AS (SELECT doc_id, token, n, row_number() OVER (
+                PARTITION BY doc_id ORDER BY n DESC, token) AS rk
+              FROM c)
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               coalesce(r.token, '') AS top_token,
+               CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                    ELSE floor((r.n * 1.0 / a.n_tokens) * 10000 + 0.5)
+                         / 10000 END AS top_frac
+        FROM documents d
+        LEFT JOIN a USING (doc_id)
+        LEFT JOIN (SELECT * FROM r WHERE rk = 1) r USING (doc_id)""",
         # deterministic hash-min-k sample: same multiplicative hash
         "doc_sample_uniform": """
         SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS priority
@@ -1712,6 +1775,7 @@ EXTRAS = {
     "doc_token_postings": doc_token_postings,
     "doc_quality_band": doc_quality_band,
     "doc_top_term": doc_top_term,
+    "doc_repetition": doc_repetition,
     "doc_pack_assign": doc_pack_assign,
     "events_asof_prev_click": events_asof_prev_click,
     "events_rolling_1h_shuffle": events_rolling_1h_shuffle,

@@ -38,3 +38,24 @@ def test_quality_scores_sane():
     assert q["quality"][0] > q["quality"][1]
     assert q["unique_ratio"][2] < 0.3
     assert 0 <= q["quality"].min() and q["quality"].max() <= 1
+
+
+def test_doc_repetition_kernel(ray_session, tmp_path):
+    """Hand-computed top-token repetition: ties break to the smaller
+    token, empty/no-token docs give ('', 0.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from courlan_ray.pipelines.extras import doc_repetition
+
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["spam spam ham", "b a b a", "", "123 456 !!!"],
+    }), sf / "documents.parquet")
+    got = doc_repetition(str(sf)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == [3, 4, 0, 0]
+    assert got["top_token"].tolist() == ["spam", "a", "", ""]   # tie: a < b
+    assert got["top_frac"].tolist() == [0.6667, 0.5, 0.0, 0.0]
