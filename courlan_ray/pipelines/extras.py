@@ -421,7 +421,9 @@ def doc_repetition(sf_dir: str):
     Language Models: ... Gopher", §A1.1 repetition filters): per document,
     the fraction of tokens taken by the single most frequent token
     (``top_frac`` — boilerplate/keyword-stuffed pages score high) plus the
-    token itself (smallest lexicographically among ties, deterministic).
+    token itself (smallest lexicographically among ties, deterministic),
+    and the duplicate word-bigram fraction (``dup_bigram_frac`` =
+    1 - distinct/total consecutive-token 2-grams — near-1 on looped text).
     Complements doc_quality's ``unique_ratio`` (distinct/total): a doc can
     have middling unique_ratio but one token covering 40% of it.  One
     row-local ``map_batches`` pass — a document lives in one row, so
@@ -438,6 +440,8 @@ def doc_repetition(sf_dir: str):
         n_tokens = np.zeros(n, dtype=np.int64)
         top_n = np.zeros(n, dtype=np.int64)
         top_tok = np.full(n, "", dtype=object)
+        n_bi = np.zeros(n, dtype=np.int64)
+        n_di = np.zeros(n, dtype=np.int64)
         if len(flat):
             c = (pd.DataFrame({"d": doc, "t": flat.to_numpy(dtype=object)})
                  .groupby(["d", "t"], sort=False).size().reset_index(name="n"))
@@ -448,12 +452,27 @@ def doc_repetition(sf_dir: str):
                               kind="mergesort").drop_duplicates("d")
             top_n[c["d"].to_numpy()] = c["n"].to_numpy(dtype=np.int64)
             top_tok[c["d"].to_numpy()] = c["t"].to_numpy(dtype=object)
+            # consecutive-token bigrams within each doc (object-dtype
+            # elementwise concat is vectorized over the flattened run)
+            arr = flat.to_numpy(dtype=object)
+            same = doc[1:] == doc[:-1]
+            if same.any():
+                grams = arr[:-1][same] + " " + arr[1:][same]
+                gb = (pd.DataFrame({"d": doc[:-1][same], "g": grams})
+                      .groupby("d", sort=False)["g"]
+                      .agg(["count", "nunique"]))
+                n_bi[gb.index.to_numpy()] = gb["count"].to_numpy()
+                n_di[gb.index.to_numpy()] = gb["nunique"].to_numpy()
         frac = np.where(n_tokens > 0,
                         _round4(top_n / np.maximum(n_tokens, 1)), 0.0)
+        dup = np.where(n_bi > 0,
+                       _round4(1.0 - (n_di / np.maximum(n_bi, 1))), 0.0)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_tokens": pa.array(n_tokens),
                          "top_token": pa.array(top_tok, pa.string()),
-                         "top_frac": pa.array(frac, pa.float64())})
+                         "top_frac": pa.array(frac, pa.float64()),
+                         "n_bigrams": pa.array(n_bi),
+                         "dup_bigram_frac": pa.array(dup, pa.float64())})
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
@@ -1424,24 +1443,37 @@ def _build_extra_oracles() -> dict[str, str]:
         # Gopher-style repetition: most frequent token per doc (ties ->
         # smallest token), fraction half-up-rounded in the same IEEE order
         "doc_repetition": r"""
-        WITH t AS (
-          SELECT doc_id, unnest(regexp_extract_all(
-                   lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?')) AS token
+        WITH tk AS (
+          SELECT doc_id, regexp_extract_all(
+                   lower(text), '[^\W\d_]+(?:''[^\W\d_]+)?') AS toks
           FROM documents),
+        t AS (SELECT doc_id, unnest(toks) AS token FROM tk),
         c AS (SELECT doc_id, token, count(*) AS n FROM t GROUP BY 1, 2),
         a AS (SELECT doc_id, sum(n) AS n_tokens FROM c GROUP BY 1),
         r AS (SELECT doc_id, token, n, row_number() OVER (
                 PARTITION BY doc_id ORDER BY n DESC, token) AS rk
-              FROM c)
+              FROM c),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+          FROM tk, unnest(generate_series(1, greatest(len(toks) - 1, 0)))
+                     AS u(i)),
+        bi AS (SELECT doc_id, count(*) AS n_bi,
+                      count(DISTINCT gram) AS n_di
+               FROM g GROUP BY 1)
         SELECT d.doc_id,
                CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
                coalesce(r.token, '') AS top_token,
                CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
                     ELSE floor((r.n * 1.0 / a.n_tokens) * 10000 + 0.5)
-                         / 10000 END AS top_frac
+                         / 10000 END AS top_frac,
+               CAST(coalesce(bi.n_bi, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN coalesce(bi.n_bi, 0) = 0 THEN 0.0
+                    ELSE floor((1.0 - bi.n_di * 1.0 / bi.n_bi) * 10000
+                               + 0.5) / 10000 END AS dup_bigram_frac
         FROM documents d
         LEFT JOIN a USING (doc_id)
-        LEFT JOIN (SELECT * FROM r WHERE rk = 1) r USING (doc_id)""",
+        LEFT JOIN (SELECT * FROM r WHERE rk = 1) r USING (doc_id)
+        LEFT JOIN bi USING (doc_id)""",
         # deterministic hash-min-k sample: same multiplicative hash
         "doc_sample_uniform": """
         SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS priority

@@ -59,3 +59,6 @@ def test_doc_repetition_kernel(ray_session, tmp_path):
     assert got["n_tokens"].tolist() == [3, 4, 0, 0]
     assert got["top_token"].tolist() == ["spam", "a", "", ""]   # tie: a < b
     assert got["top_frac"].tolist() == [0.6667, 0.5, 0.0, 0.0]
+    # bigrams: ["spam spam","spam ham"], ["b a","a b","b a"], [], []
+    assert got["n_bigrams"].tolist() == [2, 3, 0, 0]
+    assert got["dup_bigram_frac"].tolist() == [0.0, 0.3333, 0.0, 0.0]
